@@ -1,0 +1,15 @@
+"""Test config: force JAX onto a virtual 8-device CPU mesh (no TPU needed).
+
+Mirrors the reference's always-available SW fallback (MFX_IMPL_SOFTWARE,
+intel_dec/intel_dec.cpp:394-396) — every test must run hardware-free.
+Env vars must be set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
