@@ -107,9 +107,9 @@ def test_known_bitpattern_simple():
     # level for coeff 3: suffixLength=0, levelCode=2*3-2=4, first-after-T1s but
     #   T1==3 so no -2 adjustment; prefix=4 -> 00001
     # total_zeros(TC=4, tz=4) = 110
-    # run_before: zerosLeft=4: pos7->run 2 ("01"), pos4->run 0 ("11"),
-    #   pos3->run 1 ("10"); last coeff absorbs rest.
-    expect = "000011" + "0" + "1" + "0" + "00001" + "110" + "01" + "11" + "10"
+    # run_before: zerosLeft=4: pos7->run 2 (tbl4 "01", zl->2),
+    #   pos4->run 0 (tbl2 "1"), pos3->run 1 (tbl2 "01"); last coeff absorbs rest.
+    expect = "000011" + "0" + "1" + "0" + "00001" + "110" + "01" + "1" + "01"
     got = "".join(format(b, "08b") for b in (w._buf)) + format(
         w._cur, f"0{w._curbits}b" if w._curbits else "b")[:w._curbits]
     assert got.startswith(expect) or got == expect, f"\ngot    {got}\nexpect {expect}"
