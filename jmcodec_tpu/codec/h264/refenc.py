@@ -1,0 +1,363 @@
+"""Pure-numpy H.264 reference encoder (intra/CAVLC, constant QP).
+
+Produces spec-valid Annex-B streams and keeps an internal reconstruction that
+is, by construction, bit-exact with what any conforming decoder outputs (it
+reconstructs through the same dequant/IDCT/prediction/deblock code as the
+reference decoder). This is the capability analog of the reference's QSV/NVENC
+encode paths (intel_enc/intel_enc.cpp, nv_enc/nv_enc.cpp) with the codec math
+in-tree instead of in vendor silicon.
+
+Mode decision here is simple SAD-based (host oracle); the production encoder
+does batched mode decision on TPU (jmcodec_tpu/kernels).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ...ops import deblock as DB
+from ...ops import intra as IP
+from ...ops import transform as T
+from ...utils.bits import BitWriter
+from . import macroblock as MB
+from . import nal
+from .params import PPS, SPS
+from .refdec import recon_i4_block, scan_to_raster4x4, _tr_available
+from .slicehdr import SLICE_I, SliceHeader, write_slice_header
+
+
+def raster_to_scan4x4(blk: np.ndarray, ac_only: bool = False) -> List[int]:
+    flat = blk.reshape(16)[T.ZIGZAG4x4]
+    return [int(v) for v in (flat[1:] if ac_only else flat)]
+
+
+@dataclass
+class EncoderConfig:
+    width: int
+    height: int
+    qp: int = 28
+    level_idc: int = 40
+    disable_deblock: bool = False
+    # I_16x16 is tried when True (it usually wins on flat areas)
+    enable_i16: bool = True
+
+
+class H264ReferenceEncoder:
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        self.mbw = (cfg.width + 15) // 16
+        self.mbh = (cfg.height + 15) // 16
+        crop_r = (self.mbw * 16 - cfg.width)
+        crop_b = (self.mbh * 16 - cfg.height)
+        if crop_r % 2 or crop_b % 2:
+            raise ValueError("width/height must be even (4:2:0)")
+        self.sps = SPS(
+            profile_idc=66, constraint_set_flags=0x40, level_idc=cfg.level_idc,
+            pic_width_in_mbs=self.mbw, pic_height_in_map_units=self.mbh,
+            frame_cropping_flag=1 if (crop_r or crop_b) else 0,
+            crop_right=crop_r // 2, crop_bottom=crop_b // 2,
+            max_num_ref_frames=1, pic_order_cnt_type=2)
+        self.pps = PPS(pic_init_qp=cfg.qp,
+                       deblocking_filter_control_present_flag=1)
+        self.idr_count = 0
+        self.last_recon: Optional[Tuple[np.ndarray, ...]] = None
+
+    # ------------------------------------------------------------------
+
+    def headers_annexb(self) -> bytes:
+        from .params import write_pps, write_sps
+        return (nal.write_nal_unit(3, nal.NAL_SPS, write_sps(self.sps)) +
+                nal.write_nal_unit(3, nal.NAL_PPS, write_pps(self.pps)))
+
+    def encode_idr(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> bytes:
+        """Encode one IDR frame; returns the slice NAL (Annex-B)."""
+        Yp, Up, Vp = self._pad(Y), self._pad(U, c=True), self._pad(V, c=True)
+        w = BitWriter()
+        hdr = SliceHeader(
+            slice_type=SLICE_I, frame_num=0, is_idr=True,
+            idr_pic_id=self.idr_count & 1, nal_ref_idc=3,
+            disable_deblocking_filter_idc=1 if self.cfg.disable_deblock else 0)
+        self.idr_count += 1
+        sw = write_slice_header(hdr, self.sps, self.pps)
+
+        g = MB.MBGrids(self.mbw, self.mbh)
+        Yr = np.zeros((self.mbh * 16, self.mbw * 16), np.int32)
+        Ur = np.zeros((self.mbh * 8, self.mbw * 8), np.int32)
+        Vr = np.zeros((self.mbh * 8, self.mbw * 8), np.int32)
+        qp = self.cfg.qp
+        lam = max(1, 1 << max(0, (qp - 12) // 6))
+
+        for my in range(self.mbh):
+            for mx in range(self.mbw):
+                s = self._encode_mb(g, my, mx, qp, lam, Yp, Up, Vp, Yr, Ur, Vr)
+                MB.write_i_macroblock(sw, g, my, mx, 0, qp, s)
+
+        sw.rbsp_trailing_bits()
+        pre = (Yr.copy(), Ur.copy(), Vr.copy())
+        if not self.cfg.disable_deblock:
+            bs_v, bs_h = DB.intra_frame_bs(self.mbh, self.mbw)
+            DB.deblock_frame(Yr, Ur, Vr, g.qp, bs_v, bs_h,
+                             chroma_qp_off=self.pps.chroma_qp_index_offset)
+        self.last_recon = (Yr.astype(np.uint8), Ur.astype(np.uint8),
+                           Vr.astype(np.uint8))
+        self.last_pre_deblock = pre
+        return nal.write_nal_unit(3, nal.NAL_SLICE_IDR, sw.bytes())
+
+    def recon_cropped(self):
+        Yr, Ur, Vr = self.last_recon
+        w, h = self.cfg.width, self.cfg.height
+        return Yr[:h, :w], Ur[:h // 2, :w // 2], Vr[:h // 2, :w // 2]
+
+    def _pad(self, P: np.ndarray, c: bool = False) -> np.ndarray:
+        th = self.mbh * (8 if c else 16)
+        tw = self.mbw * (8 if c else 16)
+        out = np.zeros((th, tw), np.int32)
+        h, w = P.shape
+        out[:h, :w] = P
+        if w < tw:
+            out[:h, w:] = P[:, w - 1:w]
+        if h < th:
+            out[h:, :] = out[h - 1:h, :]
+        return out
+
+    # ------------------------------------------------------------------
+
+    def _encode_mb(self, g, my, mx, qp, lam, Ys, Us, Vs, Yr, Ur, Vr) -> MB.MBSymbols:
+        s = MB.MBSymbols()
+        s.qp = qp
+        x0, y0 = mx * 16, my * 16
+        src = Ys[y0:y0 + 16, x0:x0 + 16]
+        g.mb_class[my, mx] = MB.MB_I4x4  # provisional, for availability
+        g.slice_id[my, mx] = 0
+        avail_l = g.mb_available(my, mx - 1, 0)
+        avail_t = g.mb_available(my - 1, mx, 0)
+
+        # ---- I16x16 candidate (prediction SAD only, fast pre-check) ----
+        i16_best = None
+        if self.cfg.enable_i16:
+            t16 = Yr[y0 - 1, x0:x0 + 16] if avail_t else None
+            l16 = Yr[y0:y0 + 16, x0 - 1] if avail_l else None
+            tl = int(Yr[y0 - 1, x0 - 1]) if (avail_t and avail_l) else 0
+            for mode in range(4):
+                if mode == IP.I16_V and not avail_t:
+                    continue
+                if mode == IP.I16_H and not avail_l:
+                    continue
+                if mode == IP.I16_PLANE and not (avail_t and avail_l):
+                    continue
+                pred = IP.pred16x16(
+                    mode,
+                    t16 if t16 is not None else np.zeros(16, np.int32),
+                    l16 if l16 is not None else np.zeros(16, np.int32),
+                    tl, avail_t, avail_l)
+                sad = int(np.abs(src - pred).sum())
+                if i16_best is None or sad < i16_best[0]:
+                    i16_best = (sad, mode, pred)
+
+        # ---- I4x4: sequential per-block decision with live recon ----
+        # The I4 trial writes only inside this MB's 16x16 region of Yr; back it
+        # up so an I16 win can roll it back.
+        Yscratch = Yr
+        mb_backup = Yr[y0:y0 + 16, x0:x0 + 16].copy()
+        g_modes_backup = g.i4_modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4].copy()
+        i4_sad = 0
+        i4_modes = [0] * 16
+        i4_coeffs = [[0] * 16 for _ in range(16)]
+        for i in range(16):
+            bx4 = int(MB.BLK_X[i])
+            by4 = int(MB.BLK_Y[i])
+            by, bx = my * 4 + by4 // 4, mx * 4 + bx4 // 4
+            x, y = x0 + bx4, y0 + by4
+            bl = bx > 0 and (True if (bx - 1) // 4 == mx
+                             else g.mb_available(my, mx - 1, 0))
+            bt = by > 0 and (True if (by - 1) // 4 == my
+                             else g.mb_available(my - 1, mx, 0))
+            btr = _tr_available(g, my, mx, i, by, bx, 0)
+            t8 = np.zeros(8, np.int32)
+            l4 = np.zeros(4, np.int32)
+            tl = 0
+            if bt:
+                t8[:4] = Yscratch[y - 1, x:x + 4]
+                t8[4:] = Yscratch[y - 1, x + 4:x + 8] if btr else t8[3]
+            if bl:
+                l4[:] = Yscratch[y:y + 4, x - 1]
+            if bt and bl:
+                tl = int(Yscratch[y - 1, x - 1])
+            pred_mode = g.predict_i4_mode(by, bx, 0)
+            bsrc = Ys[y:y + 4, x:x + 4]
+            best = None
+            for mode in range(9):
+                if mode in (IP.I4_V, IP.I4_DDL, IP.I4_VL) and not bt:
+                    continue
+                if mode in (IP.I4_H, IP.I4_HU) and not bl:
+                    continue
+                if mode in (IP.I4_DDR, IP.I4_VR, IP.I4_HD) and not (bt and bl):
+                    continue
+                pred = IP.pred4x4(mode, t8, l4, tl, bt, bl)
+                cost = int(np.abs(bsrc - pred).sum())
+                if mode != pred_mode:
+                    cost += 4 * lam
+                if best is None or cost < best[0]:
+                    best = (cost, mode, pred)
+            cost, mode, pred = best
+            resid = bsrc - pred
+            wcoef = T.np_forward_transform_4x4(resid)
+            z = T.np_quant_4x4(wcoef, qp, intra=True)
+            d = T.np_dequant_4x4(z, qp)
+            rec_res = T.np_inverse_transform_4x4(d)
+            rec = np.clip(pred + rec_res, 0, 255)
+            Yscratch[y:y + 4, x:x + 4] = rec
+            i4_sad += int(np.abs(bsrc - rec).sum())
+            i4_modes[i] = mode
+            i4_coeffs[i] = raster_to_scan4x4(z)
+            g.i4_modes[by, bx] = mode
+
+        # ---- choose I4 vs I16 ----
+        use_i16 = False
+        if i16_best is not None:
+            # compare on reconstruction-error estimate: prediction SAD with a
+            # lambda bonus for I16's much cheaper signaling
+            use_i16 = i16_best[0] <= i4_sad + 24 * lam
+        if use_i16:
+            Yr[y0:y0 + 16, x0:x0 + 16] = mb_backup
+            g.i4_modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = g_modes_backup
+            sad, mode, pred = i16_best
+            s.mb_class = MB.MB_I16x16
+            s.i16_mode = mode
+            g.mb_class[my, mx] = MB.MB_I16x16
+            g.i4_modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+            resid = src - pred
+            blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)  # [by,bx,4,4]
+            wall = T.np_forward_transform_4x4(blocks.reshape(16, 4, 4))
+            wall = wall.reshape(4, 4, 4, 4)
+            dc = wall[:, :, 0, 0]
+            dch = T.hadamard_4x4(dc.astype(np.int32), np)
+            zdc = T.quant_dc(dch, qp, np, T.QUANT_MF4x4)
+            s.luma_dc = raster_to_scan4x4(zdc)
+            # AC quant (position 0 excluded)
+            zac = T.np_quant_4x4(wall.reshape(16, 4, 4), qp, intra=True)
+            any_ac = False
+            dc_rec = T.np_luma_dc_decode(scan_to_raster4x4(s.luma_dc), qp)
+            mbres = np.zeros((16, 16), np.int32)
+            for i in range(16):
+                bx4, by4 = int(MB.BLK_X[i]), int(MB.BLK_Y[i])
+                zb = zac[(by4 // 4) * 4 + bx4 // 4].copy()
+                zb[0, 0] = 0
+                if zb.any():
+                    any_ac = True
+                s.luma_ac[i] = raster_to_scan4x4(zb, ac_only=True) + [0]
+                d = T.np_dequant_4x4(zb, qp)
+                d[0, 0] = dc_rec[by4 // 4, bx4 // 4]
+                mbres[by4:by4 + 4, bx4:bx4 + 4] = T.np_inverse_transform_4x4(d)
+            s.cbp_luma = 15 if any_ac else 0
+            if not any_ac:
+                for i in range(16):
+                    s.luma_ac[i] = [0] * 16
+            Yr[y0:y0 + 16, x0:x0 + 16] = np.clip(pred + mbres, 0, 255)
+        else:
+            s.mb_class = MB.MB_I4x4
+            s.i4_modes = i4_modes
+            cbp = 0
+            for i in range(16):
+                if any(i4_coeffs[i]):
+                    cbp |= 1 << (i >> 2)
+            s.cbp_luma = cbp
+            for i in range(16):
+                if cbp & (1 << (i >> 2)):
+                    s.luma_ac[i] = i4_coeffs[i]
+                else:
+                    s.luma_ac[i] = [0] * 16
+            # Yr already holds the I4 recon (blocks inside zeroed 8x8 groups
+            # had all-zero residuals, so recon is unchanged by cbp zeroing)
+
+        # ---- chroma ----
+        self._encode_chroma(g, s, my, mx, qp, Us, Vs, Ur, Vr, avail_l, avail_t)
+        return s
+
+    def _encode_chroma(self, g, s, my, mx, qp, Us, Vs, Ur, Vr, avail_l, avail_t):
+        cx0, cy0 = mx * 8, my * 8
+        # mode decision over both components jointly
+        best = None
+        for mode in range(4):
+            if mode == IP.IC_H and not avail_l:
+                continue
+            if mode == IP.IC_V and not avail_t:
+                continue
+            if mode == IP.IC_PLANE and not (avail_t and avail_l):
+                continue
+            sad = 0
+            preds = []
+            for plane_s, plane_r in ((Us, Ur), (Vs, Vr)):
+                t8 = plane_r[cy0 - 1, cx0:cx0 + 8] if avail_t else np.zeros(8, np.int32)
+                l8 = plane_r[cy0:cy0 + 8, cx0 - 1] if avail_l else np.zeros(8, np.int32)
+                tl = int(plane_r[cy0 - 1, cx0 - 1]) if (avail_t and avail_l) else 0
+                pred = IP.pred_chroma8x8(mode, t8, l8, tl, avail_t, avail_l)
+                sad += int(np.abs(plane_s[cy0:cy0 + 8, cx0:cx0 + 8] - pred).sum())
+                preds.append(pred)
+            if best is None or sad < best[0]:
+                best = (sad, mode, preds)
+        _, mode, preds = best
+        s.chroma_mode = mode
+
+        any_dc = False
+        any_ac = False
+        rec_data = []
+        for comp, (plane_s, plane_r) in enumerate(((Us, Ur), (Vs, Vr))):
+            qpc = int(T.chroma_qp(qp, self.pps.chroma_qp_offset(comp)))
+            src = plane_s[cy0:cy0 + 8, cx0:cx0 + 8]
+            resid = src - preds[comp]
+            blocks = resid.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)  # [by,bx,4,4]
+            wall = T.np_forward_transform_4x4(blocks.reshape(4, 4, 4))
+            wall = wall.reshape(2, 2, 4, 4)
+            dc = wall[:, :, 0, 0]
+            dch = T.hadamard_2x2(dc.astype(np.int32), np)
+            zdc = T.quant_dc(dch, qpc, np, T.QUANT_MF4x4)
+            if zdc.any():
+                any_dc = True
+            s.chroma_dc[comp] = [int(v) for v in zdc.reshape(4)]
+            zac_all = T.np_quant_4x4(wall.reshape(4, 4, 4), qpc, intra=True)
+            comp_ac = []
+            for i in range(4):
+                zb = zac_all[i].copy()
+                zb[0, 0] = 0
+                if zb.any():
+                    any_ac = True
+                comp_ac.append(zb)
+                s.chroma_ac[comp][i] = raster_to_scan4x4(zb, ac_only=True)
+            rec_data.append((qpc, zdc, comp_ac, preds[comp]))
+
+        s.cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+        # reconstruct through the decode path with the final cbp
+        for comp, (plane_r,) in enumerate(((Ur,), (Vr,))):
+            qpc, zdc, comp_ac, pred = rec_data[comp]
+            if s.cbp_chroma == 0:
+                s.chroma_dc[comp] = [0] * 4
+                zdc = np.zeros((2, 2), np.int32)
+            if s.cbp_chroma < 2:
+                comp_ac = [np.zeros((4, 4), np.int32) for _ in range(4)]
+                for i in range(4):
+                    s.chroma_ac[comp][i] = [0] * 15
+            dc_rec = T.np_chroma_dc_decode(zdc, qpc)
+            res = np.zeros((8, 8), np.int32)
+            for i in range(4):
+                bx4, by4 = int(MB.CBLK_X[i]), int(MB.CBLK_Y[i])
+                d = T.np_dequant_4x4(comp_ac[i], qpc)
+                d[0, 0] = dc_rec[by4 // 4, bx4 // 4]
+                res[by4:by4 + 4, bx4:bx4 + 4] = T.np_inverse_transform_4x4(d)
+            plane_r[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(pred + res, 0, 255)
+
+
+def encode_stream(frames, width, height, qp=28, disable_deblock=False) -> bytes:
+    """Convenience: list of (Y,U,V) uint8 frames -> Annex-B IDR-only stream."""
+    enc = H264ReferenceEncoder(EncoderConfig(width, height, qp=qp,
+                                             disable_deblock=disable_deblock))
+    out = enc.headers_annexb()
+    recons = []
+    for (Y, U, V) in frames:
+        out += enc.encode_idr(np.asarray(Y, np.int32), np.asarray(U, np.int32),
+                              np.asarray(V, np.int32))
+        recons.append(enc.recon_cropped())
+    return out, recons
