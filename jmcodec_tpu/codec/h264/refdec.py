@@ -23,6 +23,8 @@ from . import macroblock as MB
 from . import nal
 from .params import PPS, SPS, parse_pps, parse_sps
 from .slicehdr import SLICE_I, parse_slice_header
+from .symbols import (MBCLASS_I4x4, MBCLASS_I16x16, MBCLASS_IPCM,
+                      FrameSymbols)
 
 
 def scan_to_raster4x4(scan: List[int], dc: Optional[int] = None) -> np.ndarray:
@@ -101,6 +103,7 @@ class DecodedFrame:
     is_idr: bool = True
     qp_mb: Optional[np.ndarray] = None
     pre_deblock: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+    symbols: Optional["FrameSymbols"] = None
 
     def crop(self, sps: SPS):
         w, h = sps.width, sps.height
@@ -156,6 +159,7 @@ class H264ReferenceDecoder:
         U = np.zeros((mbh * 8, mbw * 8), np.int32)
         V = np.zeros((mbh * 8, mbw * 8), np.int32)
         g = MB.MBGrids(mbw, mbh)
+        fs = FrameSymbols(mbw, mbh)
         deblock_params = []
 
         for slice_idx, u in enumerate(units):
@@ -165,22 +169,29 @@ class H264ReferenceDecoder:
                 raise NotImplementedError("only I slices in reference decoder (round 1)")
             if pps.entropy_coding_mode_flag:
                 raise NotImplementedError("CABAC")
-            self._decode_slice_data(r, hdr, sps, pps, g, Y, U, V, slice_idx)
+            self._decode_slice_data(r, hdr, sps, pps, g, Y, U, V, slice_idx, fs)
             deblock_params.append(hdr)
 
         pre = (Y.copy(), U.copy(), V.copy())
         hdr = deblock_params[0]
-        if hdr.disable_deblocking_filter_idc != 1:
+        fs.fill_availability(g.slice_id)
+        fs.deblock_enabled = hdr.disable_deblocking_filter_idc != 1
+        fs.alpha_off = hdr.slice_alpha_c0_offset_div2 * 2
+        fs.beta_off = hdr.slice_beta_offset_div2 * 2
+        fs.chroma_qp_off = pps.chroma_qp_index_offset
+        fs.second_chroma_qp_off = (pps.second_chroma_qp_index_offset
+                                   if pps.second_chroma_qp_index_offset is not None
+                                   else pps.chroma_qp_index_offset)
+        if fs.deblock_enabled:
             bs_v, bs_h = DB.intra_frame_bs(mbh, mbw)
             DB.deblock_frame(Y, U, V, g.qp, bs_v, bs_h,
-                             alpha_off=hdr.slice_alpha_c0_offset_div2 * 2,
-                             beta_off=hdr.slice_beta_offset_div2 * 2,
+                             alpha_off=fs.alpha_off, beta_off=fs.beta_off,
                              chroma_qp_off=pps.chroma_qp_index_offset,
                              second_chroma_qp_off=pps.second_chroma_qp_index_offset)
         return DecodedFrame(
             Y=Y.astype(np.uint8), U=U.astype(np.uint8), V=V.astype(np.uint8),
             frame_num=hdr.frame_num, is_idr=hdr.is_idr, qp_mb=g.qp.copy(),
-            pre_deblock=pre)
+            pre_deblock=pre, symbols=fs)
 
     def _sps_for(self, u: nal.NalUnit) -> SPS:
         # slice header parsing needs sps/pps; peek pps id quickly
@@ -197,7 +208,8 @@ class H264ReferenceDecoder:
         return self.pps[r.ue()]
 
     def _decode_slice_data(self, r: BitReader, hdr, sps: SPS, pps: PPS,
-                           g: MB.MBGrids, Y, U, V, slice_idx: int) -> None:
+                           g: MB.MBGrids, Y, U, V, slice_idx: int,
+                           fs: Optional[FrameSymbols] = None) -> None:
         mbw = sps.mb_width
         qp = pps.pic_init_qp + hdr.slice_qp_delta
         addr = hdr.first_mb_in_slice
@@ -209,9 +221,53 @@ class H264ReferenceDecoder:
             s = MB.parse_i_macroblock(r, g, my, mx, slice_idx, qp, mb_type)
             qp = s.qp
             reconstruct_intra_mb(Y, U, V, g, my, mx, slice_idx, s, pps)
+            if fs is not None:
+                fill_mb_symbols(fs, my, mx, s)
             addr += 1
             if not r.more_rbsp_data():
                 break
+
+
+def fill_mb_symbols(fs: FrameSymbols, my: int, mx: int, s: MB.MBSymbols) -> None:
+    """Record one parsed MB into the dense symbol planes."""
+    fs.qp[my, mx] = s.qp
+    if s.mb_class == MB.MB_IPCM:
+        fs.mb_class[my, mx] = MBCLASS_IPCM
+        fs.has_pcm = True
+        if fs.pcm_y is None:
+            fs.pcm_y = np.zeros((fs.mb_height * 16, fs.mb_width * 16), np.int32)
+            fs.pcm_u = np.zeros((fs.mb_height * 8, fs.mb_width * 8), np.int32)
+            fs.pcm_v = np.zeros((fs.mb_height * 8, fs.mb_width * 8), np.int32)
+        fs.pcm_y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = np.frombuffer(
+            s.pcm_luma, np.uint8).reshape(16, 16)
+        fs.pcm_u[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = np.frombuffer(
+            s.pcm_chroma[:64], np.uint8).reshape(8, 8)
+        fs.pcm_v[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = np.frombuffer(
+            s.pcm_chroma[64:], np.uint8).reshape(8, 8)
+        return
+    is16 = s.mb_class == MB.MB_I16x16
+    fs.mb_class[my, mx] = MBCLASS_I16x16 if is16 else MBCLASS_I4x4
+    fs.i16_mode[my, mx] = s.i16_mode
+    fs.chroma_mode[my, mx] = s.chroma_mode
+    for i in range(16):
+        bx = mx * 4 + int(MB.BLK_X[i]) // 4
+        by = my * 4 + int(MB.BLK_Y[i]) // 4
+        if is16:
+            fs.luma_coeffs[by, bx] = scan_to_raster4x4(s.luma_ac[i], dc=0)
+            fs.i4_modes[by, bx] = 0
+        else:
+            fs.luma_coeffs[by, bx] = scan_to_raster4x4(s.luma_ac[i])
+            fs.i4_modes[by, bx] = s.i4_modes[i]
+    if is16:
+        fs.luma_dc[my, mx] = scan_to_raster4x4(s.luma_dc)
+    for comp in range(2):
+        fs.chroma_dc[comp, my, mx] = np.asarray(
+            s.chroma_dc[comp], np.int32).reshape(2, 2)
+        for i in range(4):
+            bx = mx * 2 + int(MB.CBLK_X[i]) // 4
+            by = my * 2 + int(MB.CBLK_Y[i]) // 4
+            fs.chroma_coeffs[comp, by, bx] = scan_to_raster4x4(
+                list(s.chroma_ac[comp][i]), dc=0)
 
 
 def reconstruct_intra_mb(Y, U, V, g: MB.MBGrids, my: int, mx: int,

@@ -48,70 +48,80 @@ TC0_TABLE = np.array([
 ], dtype=np.int32)
 
 
-def _clip3(lo, hi, x):
-    return np.minimum(np.maximum(x, lo), hi)
+def _clip3(lo, hi, x, xp=np):
+    return xp.minimum(xp.maximum(x, lo), hi)
 
 
-def _filter_edge_luma(p3, p2, p1, p0, q0, q1, q2, q3, bs, index_a, index_b):
+def _filter_edge_luma(p3, p2, p1, p0, q0, q1, q2, q3, bs, index_a, index_b,
+                      xp=np, alpha_t=None, beta_t=None, tc0_t=None):
     """Filter one luma edge line-set. All args are int32 arrays of equal shape
     (the samples perpendicular to the edge, vectorized along the edge).
-    bs may be an array (per-line) or scalar. Returns filtered 8-tuple."""
-    alpha = ALPHA_TABLE[index_a]
-    beta = BETA_TABLE[index_b]
-    filt = (bs > 0) & (np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta) \
-        & (np.abs(q1 - q0) < beta)
-    ap = np.abs(p2 - p0) < beta
-    aq = np.abs(q2 - q0) < beta
+    bs may be an array (per-line) or scalar. Returns filtered 8-tuple.
+    Array-module generic: pass xp=jnp (+ device-resident tables) for the TPU
+    twin; defaults are the numpy oracle path."""
+    alpha_t = ALPHA_TABLE if alpha_t is None else alpha_t
+    beta_t = BETA_TABLE if beta_t is None else beta_t
+    tc0_t = TC0_TABLE if tc0_t is None else tc0_t
+    alpha = xp.take(alpha_t, index_a)
+    beta = xp.take(beta_t, index_b)
+    filt = (bs > 0) & (xp.abs(p0 - q0) < alpha) & (xp.abs(p1 - p0) < beta) \
+        & (xp.abs(q1 - q0) < beta)
+    ap = xp.abs(p2 - p0) < beta
+    aq = xp.abs(q2 - q0) < beta
 
     # --- bS < 4 branch (8.7.2.3) ---
-    tc0 = TC0_TABLE[np.clip(bs, 1, 3) - 1, index_a]
+    tc0 = xp.take(tc0_t, (xp.clip(bs, 1, 3) - 1) * 52 + index_a)
     tc = tc0 + ap.astype(np.int32) + aq.astype(np.int32)
-    delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3))
-    p0_s = np.clip(p0 + delta, 0, 255)
-    q0_s = np.clip(q0 - delta, 0, 255)
-    p1_s = np.where(ap, p1 + _clip3(-tc0, tc0,
-                    (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1), p1)
-    q1_s = np.where(aq, q1 + _clip3(-tc0, tc0,
-                    (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1), q1)
+    delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3), xp)
+    p0_s = xp.clip(p0 + delta, 0, 255)
+    q0_s = xp.clip(q0 - delta, 0, 255)
+    p1_s = xp.where(ap, p1 + _clip3(-tc0, tc0,
+                    (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1, xp), p1)
+    q1_s = xp.where(aq, q1 + _clip3(-tc0, tc0,
+                    (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1, xp), q1)
 
     # --- bS == 4 branch (8.7.2.4) ---
-    strong = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+    strong = xp.abs(p0 - q0) < ((alpha >> 2) + 2)
     sp = ap & strong
-    p0_4 = np.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+    p0_4 = xp.where(sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
                     (2 * p1 + p0 + q1 + 2) >> 2)
-    p1_4 = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
-    p2_4 = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    p1_4 = xp.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    p2_4 = xp.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
     sq = aq & strong
-    q0_4 = np.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+    q0_4 = xp.where(sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
                     (2 * q1 + q0 + p1 + 2) >> 2)
-    q1_4 = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
-    q2_4 = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+    q1_4 = xp.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    q2_4 = xp.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
 
     is4 = bs == 4
-    p0_n = np.where(filt, np.where(is4, p0_4, p0_s), p0)
-    p1_n = np.where(filt, np.where(is4, p1_4, p1_s), p1)
-    p2_n = np.where(filt & is4, p2_4, p2)
-    q0_n = np.where(filt, np.where(is4, q0_4, q0_s), q0)
-    q1_n = np.where(filt, np.where(is4, q1_4, q1_s), q1)
-    q2_n = np.where(filt & is4, q2_4, q2)
+    p0_n = xp.where(filt, xp.where(is4, p0_4, p0_s), p0)
+    p1_n = xp.where(filt, xp.where(is4, p1_4, p1_s), p1)
+    p2_n = xp.where(filt & is4, p2_4, p2)
+    q0_n = xp.where(filt, xp.where(is4, q0_4, q0_s), q0)
+    q1_n = xp.where(filt, xp.where(is4, q1_4, q1_s), q1)
+    q2_n = xp.where(filt & is4, q2_4, q2)
     return p3, p2_n, p1_n, p0_n, q0_n, q1_n, q2_n, q3
 
 
-def _filter_edge_chroma(p1, p0, q0, q1, bs, index_a, index_b):
-    alpha = ALPHA_TABLE[index_a]
-    beta = BETA_TABLE[index_b]
-    filt = (bs > 0) & (np.abs(p0 - q0) < alpha) & (np.abs(p1 - p0) < beta) \
-        & (np.abs(q1 - q0) < beta)
-    tc0 = TC0_TABLE[np.clip(bs, 1, 3) - 1, index_a]
+def _filter_edge_chroma(p1, p0, q0, q1, bs, index_a, index_b,
+                        xp=np, alpha_t=None, beta_t=None, tc0_t=None):
+    alpha_t = ALPHA_TABLE if alpha_t is None else alpha_t
+    beta_t = BETA_TABLE if beta_t is None else beta_t
+    tc0_t = TC0_TABLE if tc0_t is None else tc0_t
+    alpha = xp.take(alpha_t, index_a)
+    beta = xp.take(beta_t, index_b)
+    filt = (bs > 0) & (xp.abs(p0 - q0) < alpha) & (xp.abs(p1 - p0) < beta) \
+        & (xp.abs(q1 - q0) < beta)
+    tc0 = xp.take(tc0_t, (xp.clip(bs, 1, 3) - 1) * 52 + index_a)
     tc = tc0 + 1
-    delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3))
-    p0_s = np.clip(p0 + delta, 0, 255)
-    q0_s = np.clip(q0 - delta, 0, 255)
+    delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3), xp)
+    p0_s = xp.clip(p0 + delta, 0, 255)
+    q0_s = xp.clip(q0 - delta, 0, 255)
     p0_4 = (2 * p1 + p0 + q1 + 2) >> 2
     q0_4 = (2 * q1 + q0 + p1 + 2) >> 2
     is4 = bs == 4
-    p0_n = np.where(filt, np.where(is4, p0_4, p0_s), p0)
-    q0_n = np.where(filt, np.where(is4, q0_4, q0_s), q0)
+    p0_n = xp.where(filt, xp.where(is4, p0_4, p0_s), p0)
+    q0_n = xp.where(filt, xp.where(is4, q0_4, q0_s), q0)
     return p0_n, q0_n
 
 
