@@ -67,18 +67,22 @@ def split_annexb(data: bytes) -> Iterator[Tuple[int, int]]:
 
 
 def ebsp_to_rbsp(ebsp: bytes) -> bytes:
-    """Remove emulation_prevention_three_byte (spec 7.4.1.1)."""
-    if b"\x00\x00\x03" not in ebsp:
+    """Remove emulation_prevention_three_byte (spec 7.4.1.1).
+
+    Splice-based (escapes are sparse), so large slices don't pay a per-byte
+    Python loop."""
+    pos = ebsp.find(b"\x00\x00\x03")
+    if pos == -1:
         return ebsp
     out = bytearray()
-    i, n = 0, len(ebsp)
-    while i < n:
-        if i + 2 < n and ebsp[i] == 0 and ebsp[i + 1] == 0 and ebsp[i + 2] == 3:
-            out += ebsp[i : i + 2]
-            i += 3
-        else:
-            out.append(ebsp[i])
-            i += 1
+    start = 0
+    n = len(ebsp)
+    while pos != -1:
+        out += ebsp[start:pos + 2]
+        start = pos + 3  # drop the 0x03
+        # next escape cannot overlap the bytes we just consumed
+        pos = ebsp.find(b"\x00\x00\x03", start)
+    out += ebsp[start:n]
     return bytes(out)
 
 

@@ -16,42 +16,61 @@
 
 extern "C" {
 
+/* 64-bit buffered MSB-first bit reader: `cache` is top-aligned (the next
+ * unread bit is bit 63); refilled a byte at a time. */
 typedef struct {
     const uint8_t *data;
-    int64_t nbits;
-    int64_t pos;
+    int64_t nbits;     /* total payload bits */
+    int64_t nbytes;
+    int64_t bytepos;   /* next byte to load into the cache */
+    int64_t pos;       /* absolute consumed-bit position */
+    uint64_t cache;
+    int cbits;         /* valid bits in cache */
     int error;
 } BR;
 
-static inline uint32_t br_peek(BR *b, int n) {
-    /* n <= 24; zero-padded past end */
-    int64_t byte = b->pos >> 3;
-    int shift = (int)(b->pos & 7);
-    uint32_t v = 0;
-    for (int i = 0; i < 4; i++) {
-        uint8_t d = (byte + i) * 8 < b->nbits ? b->data[byte + i] : 0;
-        v = (v << 8) | d;
+static inline void br_refill(BR *b) {
+    while (b->cbits <= 56) {
+        uint64_t d = b->bytepos < b->nbytes ? b->data[b->bytepos] : 0;
+        b->bytepos++;
+        b->cache |= d << (56 - b->cbits);
+        b->cbits += 8;
     }
-    v <<= shift;          /* drop consumed bits of first byte */
-    return v >> (32 - n);
+}
+
+static inline uint32_t br_peek(BR *b, int n) {
+    br_refill(b);
+    return (uint32_t)(b->cache >> (64 - n));
+}
+
+static inline void br_skip(BR *b, int n) {
+    b->cache <<= n;
+    b->cbits -= n;
+    b->pos += n;
 }
 
 static inline uint32_t br_read(BR *b, int n) {
+    if (n == 0) return 0;
     if (b->pos + n > b->nbits) { b->error = 1; return 0; }
     uint32_t v = br_peek(b, n);
-    b->pos += n;
+    br_skip(b, n);
     return v;
 }
 
 static inline uint32_t br_ue(BR *b) {
-    int zeros = 0;
-    while (!b->error) {
-        if (b->pos >= b->nbits) { b->error = 1; return 0; }
-        if (br_read(b, 1)) break;
-        if (++zeros > 32) { b->error = 1; return 0; }
+    br_refill(b);
+    uint64_t c = b->cache;
+    if (c == 0) { b->error = 1; return 0; }
+    int zeros = __builtin_clzll(c);
+    if (zeros > 32 || b->pos + 2 * zeros + 1 > b->nbits) { b->error = 1; return 0; }
+    if (zeros == 0) { br_skip(b, 1); return 0; }
+    if (2 * zeros + 1 <= 57) {
+        uint32_t v = (uint32_t)(c >> (64 - (2 * zeros + 1)));
+        br_skip(b, 2 * zeros + 1);
+        return v - 1;
     }
-    if (zeros == 0) return 0;
-    return (1u << zeros) - 1 + br_read(b, zeros);
+    br_skip(b, zeros + 1);
+    return ((1u << zeros) - 1) + br_read(b, zeros);
 }
 
 static inline int32_t br_se(BR *b) {
@@ -79,7 +98,7 @@ static inline int br_more_rbsp(BR *b) {
         uint32_t key = br_peek(b, PFX##_BITS);                         \
         uint8_t ln = PFX##_len[key];                                   \
         if (!ln) { (b)->error = 1; }                                   \
-        (b)->pos += ln;                                                \
+        br_skip(b, ln);                                                \
         PFX##_sym[key];                                                \
     })
 
@@ -107,10 +126,14 @@ static int decode_residual(BR *b, int nC, int max_coeff, int32_t *coeffs) {
         levels[i] = br_read(b, 1) ? -1 : 1;
     int suffix_length = (total_coeff > 10 && trailing_ones < 3) ? 1 : 0;
     for (int i = trailing_ones; i < total_coeff; i++) {
-        int level_prefix = 0;
-        while (!b->error && br_read(b, 1) == 0) {
-            if (++level_prefix > 32) { b->error = 1; return 0; }
+        br_refill(b);
+        if (b->cache == 0) { b->error = 1; return 0; }
+        int level_prefix = __builtin_clzll(b->cache);
+        if (level_prefix > 32 || b->pos + level_prefix + 1 > b->nbits) {
+            b->error = 1;
+            return 0;
         }
+        br_skip(b, level_prefix + 1);
         int suffix_size;
         if (level_prefix >= 15) suffix_size = level_prefix - 3;
         else if (level_prefix == 14 && suffix_length == 0) suffix_size = 4;
@@ -278,7 +301,16 @@ int jmx_parse_i_slice(const uint8_t *rbsp, int64_t nbytes, int64_t bit_offset,
     Ctx c = {mbw, mbh, nz_luma, nz_chroma, i4_grid, slice_map, mb_class,
              qp_out, i4_modes, i16_mode, chroma_mode, luma_coeffs, luma_dc,
              chroma_coeffs, chroma_dc, pcm_y, pcm_c};
-    BR b = {rbsp, nbytes * 8, bit_offset, 0};
+    BR b;
+    b.data = rbsp;
+    b.nbits = nbytes * 8;
+    b.nbytes = nbytes;
+    b.bytepos = bit_offset >> 3;
+    b.pos = bit_offset & ~7LL;
+    b.cache = 0;
+    b.cbits = 0;
+    b.error = 0;
+    if (bit_offset & 7) br_read(&b, (int)(bit_offset & 7));
     int qp = slice_qp;
     int addr = first_mb;
     int n_mbs = 0;
