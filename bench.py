@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 1080p H.264 intra decode throughput per chip.
+
+Pipeline measured end-to-end: host entropy parse (native C++ CAVLC ->
+symbol planes, threaded) + device reconstruction (wavefront intra + deblock,
+frame-batched) on whatever accelerator jax exposes (TPU under the driver).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/60}
+(baseline: BASELINE.md target of 60 fps/chip bit-exact 1080p decode).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_test_stream(W=1920, H=1080, n_frames=8, qp=30):
+    """x264 intra stream via the conformance oracle tool (test data only)."""
+    cache = f"/tmp/jmx_bench_{W}x{H}_{n_frames}_{qp}.h264"
+    if os.path.exists(cache):
+        return open(cache, "rb").read()
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from util_oracle import have_oracle, make_frame, oracle_encode
+    if not have_oracle():
+        raise RuntimeError("no oracle to generate bench stream")
+    frames = [make_frame(W, H, seed=i, kind="gradient_noise")
+              for i in range(n_frames)]
+    data = oracle_encode(frames, W, H, qp=qp, gop=1)
+    open(cache, "wb").write(data)
+    return data
+
+
+def main():
+    W, H, N = 1920, 1080, 8
+    stream = make_test_stream(W, H, N)
+    log(f"bench stream: {len(stream)/1024:.0f} KB, {N} frames {W}x{H}")
+
+    import jax
+    from jmcodec_tpu.codec.h264 import nal as NAL
+    from jmcodec_tpu.codec.h264.fastdec import FastH264Parser
+    from jmcodec_tpu.kernels.recon import decode_frames_batch, stack_symbols
+
+    platform = jax.devices()[0].platform
+    log(f"device: {jax.devices()[0]} ({platform})")
+
+    # split stream into per-picture chunks for threaded host parse
+    units = list(NAL.split_annexb(stream))
+    starts = []
+    for s, e in units:
+        typ = stream[s] & 0x1F
+        if typ in (1, 5) and (stream[s + 1] & 0x80):
+            sc = s - 3
+            if sc > 0 and stream[sc - 1] == 0:
+                sc -= 1
+            starts.append(sc)
+    starts.append(len(stream))
+    head = stream[:starts[0]]
+    chunks = [head + stream[starts[i]:starts[i + 1]]
+              for i in range(len(starts) - 1)]
+    log(f"{len(chunks)} pictures")
+
+    parser = FastH264Parser()
+    parser.parse_annexb(chunks[0])  # prime SPS/PPS
+
+    def parse_one(c):
+        return parser.parse_annexb(c)[0]
+
+    # warmup: parse all & compile the batched device program
+    fss = [parse_one(c) for c in chunks]
+    mbh, mbw = fss[0][0].mb_height, fss[0][0].mb_width
+    args = stack_symbols([f for f, _ in fss])
+    t0 = time.time()
+    out = decode_frames_batch(mbh, mbw, *args, deblock=True)
+    jax.block_until_ready(out)
+    log(f"compile+first batch: {time.time()-t0:.1f}s")
+
+    # timed runs: host parse (threads) + device decode, 3 repetitions
+    pool = ThreadPoolExecutor(max_workers=os.cpu_count() or 2)
+    best = 0.0
+    for rep in range(3):
+        t0 = time.time()
+        fss = list(pool.map(parse_one, chunks))
+        args = stack_symbols([f for f, _ in fss])
+        out = decode_frames_batch(mbh, mbw, *args, deblock=True)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        fps = len(chunks) / dt
+        log(f"rep {rep}: {dt*1000:.0f} ms for {len(chunks)} frames = {fps:.2f} fps")
+        best = max(best, fps)
+
+    # sanity: output must match the reference decoder bit-exactly on frame 0
+    from jmcodec_tpu.codec.h264.refdec import H264ReferenceDecoder
+    ref = H264ReferenceDecoder().decode_annexb(chunks[0])[0]
+    Y0 = np.asarray(out[0][0])
+    exact = bool((Y0 == ref.Y).all())
+    log(f"bit-exact vs reference decoder: {exact}")
+
+    result = {
+        "metric": "h264_1080p_intra_decode_fps_per_chip",
+        "value": round(best, 2),
+        "unit": "fps",
+        "vs_baseline": round(best / 60.0, 3),
+        "bit_exact": exact,
+        "platform": platform,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,365 @@
+"""Session API: capability parity with the reference's 44 C exports
+(SURVEY §2.1 rows 2/4/6/8), re-shaped as Python sessions around the TPU codec
+core.
+
+Mapping (reference export -> here):
+  jm_intel_dec_create_handle/init      -> DecoderSession(codec, out_fmt)
+  jm_intel_dec_input_data              -> DecoderSession.input_data
+  jm_intel_dec_need_more_data          -> DecoderSession.need_more_data
+  jm_intel_dec_free_buf_len            -> DecoderSession.free_buf_len
+  jm_intel_dec_output_frame            -> DecoderSession.output_frame
+  jm_intel_dec_set_eof                 -> DecoderSession.set_eof
+  jm_intel_dec_is_exit                 -> DecoderSession.is_exit
+  jm_intel_dec_show_info               -> DecoderSession.info
+  jm_intel_dec_get_stream_info         -> DecoderSession.get_stream_info
+  jm_intel_dec_is_hw_support           -> DecoderSession.is_hw_support
+  jm_intel_dec_set_yuv_callback        -> DecoderSession.set_yuv_callback
+                                          (dead in the reference —
+                                          intel_dec.cpp:370-376 stores but
+                                          never calls it; live here)
+  jm_nvdec_decode_frame                -> DecoderSession.decode_frame
+  jm_intel_enc_default_param           -> EncoderParams()
+  jm_intel_enc_encode_yuv_frame        -> EncoderSession.encode_frame
+  jm_intel_enc_output_bitstream        -> EncoderSession.output_bitstream
+  jm_intel_enc_get_spspps              -> EncoderSession.get_spspps
+  jm_nvenc_memory_alloc_host/release   -> n/a (numpy owns buffers)
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from collections import deque
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+# Backpressure threshold mirrors the reference's 5 MB free-space rule
+# (intel_dec/intel_dec.cpp:28,351-360) on a 10 MB ring (intel_dec.cpp:27).
+INPUT_BUF_SIZE = 10 * 1024 * 1024
+NEED_MORE_THRESHOLD = 5 * 1024 * 1024
+
+
+class Codec(enum.IntEnum):
+    H264 = 0
+    HEVC = 1
+
+
+class PixFmt(enum.IntEnum):
+    YV12 = 0   # planar Y, V, U  (reference out_fmt 0: nv_dec.cpp repack)
+    NV12 = 1   # planar Y + interleaved UV
+    I420 = 2   # planar Y, U, V
+
+
+def repack(Y: np.ndarray, U: np.ndarray, V: np.ndarray, fmt: PixFmt) -> bytes:
+    """Crop-aware plane repack (parity: intel_dec_output_yuv_frame
+    intel_dec.cpp:244-332; jm_nvdec_output_frame nv_dec.cpp:750-828)."""
+    if fmt == PixFmt.I420:
+        return Y.tobytes() + U.tobytes() + V.tobytes()
+    if fmt == PixFmt.YV12:
+        return Y.tobytes() + V.tobytes() + U.tobytes()
+    if fmt == PixFmt.NV12:
+        uv = np.empty((U.shape[0], U.shape[1] * 2), np.uint8)
+        uv[:, 0::2] = U
+        uv[:, 1::2] = V
+        return Y.tobytes() + uv.tobytes()
+    raise ValueError(fmt)
+
+
+class _FpsMeter:
+    """Info-string/fps accounting, parity with the reference's clock() diffing
+    (intel_dec.cpp:951-972, nv_dec.cpp:663-683)."""
+
+    def __init__(self):
+        self.start: Optional[float] = None
+        self.frames = 0
+        self.bytes_in = 0
+
+    def tick_frame(self, n=1):
+        if self.start is None:
+            self.start = time.monotonic()
+        self.frames += n
+
+    def fps(self) -> float:
+        if not self.start or not self.frames:
+            return 0.0
+        dt = time.monotonic() - self.start
+        return self.frames / dt if dt > 0 else 0.0
+
+
+class DecoderSession:
+    """Streaming decoder: bytes in (with backpressure), YUV out in display
+    order, EOF drain — the reference's flagship path (SURVEY §3.1)."""
+
+    def __init__(self, codec: Codec = Codec.H264, out_fmt: PixFmt = PixFmt.I420,
+                 use_device: bool = True, use_native_parser: bool = True):
+        if codec == Codec.HEVC:
+            raise NotImplementedError("HEVC decode lands in a later round")
+        self.codec = codec
+        self.out_fmt = out_fmt
+        self._buf = bytearray()
+        self._scan_pos = 0
+        self._frames: deque = deque()
+        self._eof = False
+        self._drained = False
+        self._meter = _FpsMeter()
+        self._yuv_callback: Optional[Callable] = None
+        self._stream_info: Optional[Tuple[int, int]] = None
+        self._use_device = use_device
+        self._parser = None
+        self._refdec = None
+        if use_native_parser:
+            try:
+                from ..codec.h264.fastdec import FastH264Parser
+                self._parser = FastH264Parser()
+            except Exception:
+                self._parser = None
+        if self._parser is None:
+            from ..codec.h264.refdec import H264ReferenceDecoder
+            self._refdec = H264ReferenceDecoder()
+
+    # ---- input side ----
+
+    def need_more_data(self) -> bool:
+        return self.free_buf_len() > NEED_MORE_THRESHOLD and not self._eof
+
+    def free_buf_len(self) -> int:
+        return max(0, INPUT_BUF_SIZE - len(self._buf))
+
+    def input_data(self, data: bytes) -> int:
+        """Returns bytes accepted (0 if the ring is full, like the reference
+        returning 0 from intel_dec_put_input_data on overflow)."""
+        if self._eof:
+            return 0
+        take = min(len(data), self.free_buf_len())
+        self._buf += data[:take]
+        self._meter.bytes_in += take
+        self._try_decode(flush=False)
+        return take
+
+    def set_eof(self) -> None:
+        self._eof = True
+        self._try_decode(flush=True)
+        self._drained = True
+
+    # ---- output side ----
+
+    def output_frame(self) -> Optional[bytes]:
+        """Pop one frame in display order, repacked to out_fmt."""
+        fr = self.get_frame()
+        if fr is None:
+            return None
+        return repack(*fr, self.out_fmt)
+
+    def get_frame(self):
+        """Pop one frame as (Y, U, V) numpy planes."""
+        if not self._frames:
+            return None
+        fr = self._frames.popleft()
+        if self._yuv_callback is not None:
+            self._yuv_callback(*fr)
+        return fr
+
+    def is_exit(self) -> bool:
+        return self._drained and not self._frames
+
+    def set_yuv_callback(self, cb: Callable) -> None:
+        self._yuv_callback = cb
+
+    # ---- queries ----
+
+    def get_stream_info(self) -> Optional[Tuple[int, int]]:
+        return self._stream_info
+
+    def info(self) -> str:
+        return (f"jmcodec-tpu decode | codec={self.codec.name} "
+                f"frames={self._meter.frames} bytes={self._meter.bytes_in} "
+                f"fps={self._meter.fps():.1f}")
+
+    @staticmethod
+    def is_hw_support() -> bool:
+        """TPU-slice probe (parity: jm_intel_dec_is_hw_support)."""
+        try:
+            import jax
+            return any(d.platform != "cpu" for d in jax.devices())
+        except Exception:
+            return False
+
+    # ---- internals ----
+
+    def _try_decode(self, flush: bool) -> None:
+        """Extract complete access units from the buffer and decode them.
+
+        A picture is complete when the NEXT picture's first slice (or EOF)
+        is seen; we decode conservatively: on flush decode everything, else
+        keep the last (possibly incomplete) picture's bytes buffered.
+        """
+        data = bytes(self._buf)
+        if not data:
+            return
+        cut = self._last_picture_start(data) if not flush else len(data)
+        if cut <= 0:
+            return
+        chunk, rest = data[:cut], data[cut:]
+        if not chunk:
+            return
+        self._buf = bytearray(rest)
+        self._decode_chunk(chunk)
+
+    def _last_picture_start(self, data: bytes) -> int:
+        """Byte offset of the start code of the LAST picture-initial slice
+        NAL (first_mb_in_slice == 0); bytes before it form complete AUs."""
+        from ..codec.h264 import nal as NAL
+        last = -1
+        for s, e in NAL.split_annexb(data):
+            hdr = data[s]
+            typ = hdr & 0x1F
+            if typ in (1, 5):
+                # first_mb_in_slice == 0 <=> first ue bit pattern "1"
+                if s + 1 < len(data) and (data[s + 1] & 0x80):
+                    sc = s - 3
+                    if sc > 0 and data[sc - 1] == 0:
+                        sc -= 1
+                    last = max(last, sc)
+        return last
+
+    def _decode_chunk(self, chunk: bytes) -> None:
+        if self._parser is not None:
+            pics = self._parser.parse_annexb(chunk)
+            for fs, sps in pics:
+                self._stream_info = (sps.width, sps.height)
+                if self._use_device and not fs.has_pcm:
+                    from ..kernels.recon import decode_frame_symbols
+                    Y, U, V = decode_frame_symbols(fs)
+                else:
+                    Y, U, V = self._host_recon(fs, sps)
+                w, h = sps.width, sps.height
+                self._frames.append((Y[:h, :w], U[:h // 2, :w // 2],
+                                     V[:h // 2, :w // 2]))
+                self._meter.tick_frame()
+        else:
+            out = self._refdec.decode_annexb(chunk)
+            for fr in out:
+                sps = list(self._refdec.sps.values())[0]
+                self._stream_info = (sps.width, sps.height)
+                self._frames.append(fr.crop(sps))
+                self._meter.tick_frame()
+
+    def _host_recon(self, fs, sps):
+        from ..codec.h264.refdec import H264ReferenceDecoder  # noqa
+        raise NotImplementedError(
+            "host recon from symbols (PCM streams) lands with the PCM path")
+
+
+class EncoderParams:
+    """Defaults-then-override config struct, parity with
+    jm_intel_enc_default_param (intel_enc.cpp:231-249: 1080p30, 2 Mbps VBR,
+    balanced preset, GOP 30, no B-frames) and nv_enc_param (jmnv_enc.h:23-53)."""
+
+    def __init__(self, width=1920, height=1080, fps=30, bitrate_kb=2000,
+                 gop_len=30, num_bframe=0, codec: Codec = Codec.H264,
+                 qp: Optional[int] = None, preset: str = "balanced"):
+        self.width = width
+        self.height = height
+        self.fps = fps
+        self.bitrate_kb = bitrate_kb
+        self.gop_len = gop_len
+        self.num_bframe = num_bframe
+        self.codec = codec
+        self.qp = qp
+        self.preset = preset
+
+    def effective_qp(self) -> int:
+        if self.qp is not None:
+            return self.qp
+        # crude bits/pixel -> QP mapping until real rate control lands
+        bpp = (self.bitrate_kb * 1000.0) / max(
+            1.0, self.fps * self.width * self.height)
+        import math
+        qp = int(round(34 - 6 * math.log2(max(bpp, 1e-4) / 0.1)))
+        return int(np.clip(qp, 10, 48))
+
+
+class EncoderSession:
+    """YUV in -> Annex-B bitstream out with keyframe flags + SPS/PPS export
+    (parity: intel_enc/nv_enc paths, SURVEY §3.2/§3.4)."""
+
+    MAX_QUEUED = 30  # backpressure parity: in_surf_queue < 30 (intel_enc.cpp:432-440)
+
+    def __init__(self, params: Optional[EncoderParams] = None):
+        self.params = params or EncoderParams()
+        if self.params.num_bframe:
+            raise NotImplementedError("B-frames land with the inter path")
+        from ..codec.h264.refenc import EncoderConfig, H264ReferenceEncoder
+        self._enc = H264ReferenceEncoder(EncoderConfig(
+            self.params.width, self.params.height, qp=self.params.effective_qp()))
+        self._out: deque = deque()
+        self._eof = False
+        self._meter = _FpsMeter()
+        self._queued = 0
+        self._headers_sent = False
+
+    def more_data(self) -> bool:
+        return len(self._out) < self.MAX_QUEUED and not self._eof
+
+    need_more_data = more_data
+
+    def encode_frame(self, yuv, fmt: PixFmt = PixFmt.I420) -> None:
+        """Encode one frame. yuv: (Y, U, V) planes or packed bytes."""
+        Y, U, V = self._unpack(yuv, fmt)
+        payload = b""
+        if not self._headers_sent:
+            payload += self._enc.headers_annexb()
+            self._headers_sent = True
+        # round 1: all-intra (gop_len honored trivially; inter path pending)
+        nal = self._enc.encode_idr(np.asarray(Y, np.int32),
+                                   np.asarray(U, np.int32),
+                                   np.asarray(V, np.int32))
+        self._out.append((payload + nal, True))
+        self._meter.tick_frame()
+
+    def output_bitstream(self) -> Optional[Tuple[bytes, bool]]:
+        """Pop (bytes, is_keyframe) like jm_intel_enc_output_bitstream."""
+        if not self._out:
+            return None
+        return self._out.popleft()
+
+    def set_eof(self) -> None:
+        self._eof = True
+
+    def is_exit(self) -> bool:
+        return self._eof and not self._out
+
+    def get_spspps(self) -> Tuple[bytes, bytes]:
+        """SPS/PPS export (parity: enc_get_spspps intel_enc.cpp:582-622,
+        nvenc_get_spspps nv_enc.cpp:1168-1216)."""
+        from ..codec.h264 import nal as NAL
+        from ..codec.h264.params import write_pps, write_sps
+        sps = NAL.write_nal_unit(3, NAL.NAL_SPS, write_sps(self._enc.sps))
+        pps = NAL.write_nal_unit(3, NAL.NAL_PPS, write_pps(self._enc.pps))
+        return sps, pps
+
+    def info(self) -> str:
+        return (f"jmcodec-tpu encode | {self.params.width}x{self.params.height}"
+                f" qp={self._enc.cfg.qp} frames={self._meter.frames}"
+                f" fps={self._meter.fps():.1f}")
+
+    def _unpack(self, yuv, fmt: PixFmt):
+        if isinstance(yuv, tuple):
+            return yuv
+        w, h = self.params.width, self.params.height
+        buf = np.frombuffer(yuv, np.uint8)
+        Y = buf[:w * h].reshape(h, w)
+        if fmt == PixFmt.I420:
+            U = buf[w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
+            V = buf[w * h + w * h // 4:w * h * 3 // 2].reshape(h // 2, w // 2)
+        elif fmt == PixFmt.YV12:
+            V = buf[w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
+            U = buf[w * h + w * h // 4:w * h * 3 // 2].reshape(h // 2, w // 2)
+        elif fmt == PixFmt.NV12:
+            uv = buf[w * h:w * h * 3 // 2].reshape(h // 2, w)
+            U = uv[:, 0::2]
+            V = uv[:, 1::2]
+        else:
+            raise ValueError(fmt)
+        return Y, U, V

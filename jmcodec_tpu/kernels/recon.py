@@ -498,6 +498,37 @@ def decode_frame(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
     return Y, U, V
 
 
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "deblock"))
+def decode_frames_batch(mbh, mbw, mb_class, qp, i4_modes, i16_mode,
+                        chroma_mode, luma_coeffs, luma_dc, chroma_coeffs,
+                        chroma_dc, avail_left, avail_top, avail_topright,
+                        alpha_off, beta_off, chroma_qp_off,
+                        second_chroma_qp_off, deblock: bool = True):
+    """vmap of decode_frame over a leading frame axis — the codec-domain batch
+    that amortizes the wavefront scan's per-step overhead (intra frames are
+    mutually independent; GOP-batching in the session feeds this)."""
+    fn = functools.partial(decode_frame, mbh, mbw, deblock=deblock)
+    return jax.vmap(fn)(mb_class, qp, i4_modes, i16_mode, chroma_mode,
+                        luma_coeffs, luma_dc, chroma_coeffs, chroma_dc,
+                        avail_left, avail_top, avail_topright,
+                        alpha_off, beta_off, chroma_qp_off,
+                        second_chroma_qp_off)
+
+
+def stack_symbols(fss):
+    """Stack a list of same-geometry FrameSymbols into batched device args."""
+    import numpy as _np
+    fields = ["mb_class", "qp", "i4_modes", "i16_mode", "chroma_mode",
+              "luma_coeffs", "luma_dc", "chroma_coeffs", "chroma_dc",
+              "avail_left", "avail_top", "avail_topright"]
+    arrs = [jnp.asarray(_np.stack([getattr(f, n) for f in fss]))
+            for n in fields]
+    scal = [jnp.asarray(_np.array([getattr(f, n) for f in fss], _np.int32))
+            for n in ["alpha_off", "beta_off", "chroma_qp_off",
+                      "second_chroma_qp_off"]]
+    return arrs + scal
+
+
 def decode_frame_symbols(fs, deblock=None):
     """Convenience wrapper: FrameSymbols -> (Y, U, V) uint8 numpy (uncropped)."""
     if fs.has_pcm:

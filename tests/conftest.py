@@ -7,9 +7,17 @@ Env vars must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# Force CPU even if the environment pins a TPU platform (JAX_PLATFORMS=axon):
+# unit tests must be hardware-free; benches opt into TPU explicitly. The env
+# var alone does not win over an already-registered plugin, so also set the
+# config knob before any jax.devices() call.
+if os.environ.get("JMX_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 os.environ.setdefault("JAX_ENABLE_X64", "0")

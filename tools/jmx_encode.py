@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Encode raw YUV (I420) to an H.264 Annex-B elementary stream.
+
+Parity with test_intel_enc.cpp:83-110: read frame, encode, drain bitstream
+queue to file, report fps.
+
+Usage: jmx_encode.py in.i420 WxH out.h264 [--qp N | --bitrate KB]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from jmcodec_tpu.api.session import EncoderParams, EncoderSession, PixFmt  # noqa
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input")
+    ap.add_argument("size", help="WxH, e.g. 1920x1080")
+    ap.add_argument("output")
+    ap.add_argument("--qp", type=int, default=None)
+    ap.add_argument("--bitrate", type=int, default=2000, help="kbit/s")
+    ap.add_argument("--fps", type=int, default=30)
+    args = ap.parse_args()
+    W, H = map(int, args.size.lower().split("x"))
+
+    params = EncoderParams(width=W, height=H, fps=args.fps,
+                           bitrate_kb=args.bitrate, qp=args.qp, gop_len=1)
+    enc = EncoderSession(params)
+    frame_size = W * H * 3 // 2
+    n = 0
+    with open(args.input, "rb") as fi, open(args.output, "wb") as fo:
+        while True:
+            raw = fi.read(frame_size)
+            if len(raw) < frame_size:
+                break
+            enc.encode_frame(raw, PixFmt.I420)
+            while True:
+                pkt = enc.output_bitstream()
+                if pkt is None:
+                    break
+                fo.write(pkt[0])
+            n += 1
+    enc.set_eof()
+    print(enc.info())
+    print(f"encoded {n} frames")
+
+
+if __name__ == "__main__":
+    main()
