@@ -41,14 +41,15 @@ def make_test_stream(W=1920, H=1080, n_frames=8, qp=30):
 
 
 def main():
-    W, H, N = 1920, 1080, 8
+    W, H, N = 1920, 1080, int(os.environ.get("JMX_BENCH_FRAMES", "16"))
     stream = make_test_stream(W, H, N)
     log(f"bench stream: {len(stream)/1024:.0f} KB, {N} frames {W}x{H}")
 
     import jax
     from jmcodec_tpu.codec.h264 import nal as NAL
     from jmcodec_tpu.codec.h264.fastdec import FastH264Parser
-    from jmcodec_tpu.kernels.recon import decode_frames_batch, stack_symbols
+    from jmcodec_tpu.kernels.recon_tiles import decode_frames_batch
+    from jmcodec_tpu.kernels.recon import stack_symbols
 
     platform = jax.devices()[0].platform
     log(f"device: {jax.devices()[0]} ({platform})")
@@ -98,11 +99,13 @@ def main():
         log(f"rep {rep}: {dt*1000:.0f} ms for {len(chunks)} frames = {fps:.2f} fps")
         best = max(best, fps)
 
-    # sanity: output must match the reference decoder bit-exactly on frame 0
-    from jmcodec_tpu.codec.h264.refdec import H264ReferenceDecoder
-    ref = H264ReferenceDecoder().decode_annexb(chunks[0])[0]
-    Y0 = np.asarray(out[0][0])
-    exact = bool((Y0 == ref.Y).all())
+    # sanity: output must match the independent reference decoder (libavcodec
+    # oracle) bit-exactly on every frame
+    from util_oracle import oracle_decode
+    golden, _, _ = oracle_decode(stream)
+    Ys = np.asarray(out[0])
+    exact = all(bool((Ys[i][:H, :W] == golden[i][0]).all())
+                for i in range(len(golden)))
     log(f"bit-exact vs reference decoder: {exact}")
 
     result = {

@@ -229,7 +229,7 @@ class DecoderSession:
             for fs, sps in pics:
                 self._stream_info = (sps.width, sps.height)
                 if self._use_device and not fs.has_pcm:
-                    from ..kernels.recon import decode_frame_symbols
+                    from ..kernels.recon_tiles import decode_frame_symbols
                     Y, U, V = decode_frame_symbols(fs)
                 else:
                     Y, U, V = self._host_recon(fs, sps)

@@ -6,21 +6,22 @@ import pytest
 
 from jmcodec_tpu.codec.h264.refdec import H264ReferenceDecoder
 from jmcodec_tpu.codec.h264.refenc import encode_stream
-from jmcodec_tpu.kernels.recon import decode_frame_symbols
+from jmcodec_tpu.kernels import recon, recon_tiles
 
 from util_oracle import have_oracle, make_frame, oracle_encode
 
 HAVE_ORACLE = have_oracle()
 
 
-def check_stream(stream):
+def check_stream(stream, kernels=(recon_tiles, recon)):
     dec = H264ReferenceDecoder()
     frames = dec.decode_annexb(stream)
     for i, fr in enumerate(frames):
-        Yd, Ud, Vd = decode_frame_symbols(fr.symbols)
-        np.testing.assert_array_equal(Yd, fr.Y, err_msg=f"frame {i} luma")
-        np.testing.assert_array_equal(Ud, fr.U, err_msg=f"frame {i} cb")
-        np.testing.assert_array_equal(Vd, fr.V, err_msg=f"frame {i} cr")
+        for K in kernels:
+            Yd, Ud, Vd = K.decode_frame_symbols(fr.symbols)
+            np.testing.assert_array_equal(Yd, fr.Y, err_msg=f"frame {i} luma")
+            np.testing.assert_array_equal(Ud, fr.U, err_msg=f"frame {i} cb")
+            np.testing.assert_array_equal(Vd, fr.V, err_msg=f"frame {i} cr")
     return len(frames)
 
 
