@@ -314,9 +314,12 @@ def _parse_residual(r, g, my, mx, cur_slice, s: MBSymbols) -> None:
 # ---------------------------------------------------------------------------
 
 def write_i_macroblock(w: BitWriter, g: MBGrids, my: int, mx: int,
-                       cur_slice: int, qp_prev: int, s: MBSymbols) -> None:
+                       cur_slice: int, qp_prev: int, s: MBSymbols,
+                       mb_type_offset: int = 0) -> None:
+    """Write one intra MB. mb_type_offset: 5 when inside a P slice (Table
+    7-13 maps intra types to mb_type-5 there)."""
     if s.mb_class == MB_IPCM:
-        w.ue(25)
+        w.ue(25 + mb_type_offset)
         w.align()
         for b in s.pcm_luma:
             w.u(b, 8)
@@ -334,7 +337,7 @@ def write_i_macroblock(w: BitWriter, g: MBGrids, my: int, mx: int,
     g.slice_id[my, mx] = cur_slice
 
     if s.mb_class == MB_I4x4:
-        w.ue(0)
+        w.ue(0 + mb_type_offset)
         for i in range(16):
             by = my * 4 + int(BLK_Y[i]) // 4
             bx = mx * 4 + int(BLK_X[i]) // 4
@@ -350,7 +353,7 @@ def write_i_macroblock(w: BitWriter, g: MBGrids, my: int, mx: int,
         cbp = (s.cbp_chroma << 4) | s.cbp_luma
         w.ue(int(CBP_INTRA_TO_CODE[cbp]))
     else:
-        w.ue(i16_mb_type(s.i16_mode, s.cbp_luma, s.cbp_chroma))
+        w.ue(i16_mb_type(s.i16_mode, s.cbp_luma, s.cbp_chroma) + mb_type_offset)
         w.ue(s.chroma_mode)
 
     if s.cbp_luma or s.cbp_chroma or s.mb_class == MB_I16x16:
@@ -363,8 +366,13 @@ def write_i_macroblock(w: BitWriter, g: MBGrids, my: int, mx: int,
     else:
         s.qp = qp_prev
     g.qp[my, mx] = s.qp
+    _write_residual(w, g, my, mx, cur_slice, s)
 
-    # residuals
+
+def _write_residual(w: BitWriter, g: MBGrids, my: int, mx: int,
+                    cur_slice: int, s: MBSymbols) -> None:
+    """Residual syntax writer (exact inverse of _parse_residual); shared by
+    intra and inter MB writers."""
     if s.mb_class == MB_I16x16:
         nc = g.luma_nc(my * 4, mx * 4, cur_slice)
         cavlc.encode_residual_block(w, s.luma_dc, nc, 16)

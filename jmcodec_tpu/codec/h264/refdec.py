@@ -19,10 +19,12 @@ from ...ops import deblock as DB
 from ...ops import intra as IP
 from ...ops import transform as T
 from ...utils.bits import BitReader
+from ...ops import mc as MC
+from . import inter as INTER
 from . import macroblock as MB
 from . import nal
 from .params import PPS, SPS, parse_pps, parse_sps
-from .slicehdr import SLICE_I, parse_slice_header
+from .slicehdr import SLICE_I, SLICE_P, parse_slice_header
 from .symbols import (MBCLASS_I4x4, MBCLASS_I16x16, MBCLASS_IPCM,
                       FrameSymbols)
 
@@ -110,13 +112,54 @@ class DecodedFrame:
         return (self.Y[:h, :w], self.U[:h // 2, :w // 2], self.V[:h // 2, :w // 2])
 
 
+@dataclass
+class RefPicture:
+    """One DPB entry: deblocked planes + lazily padded MC references."""
+    frame_num: int
+    Y: np.ndarray
+    U: np.ndarray
+    V: np.ndarray
+    _padded: Optional[Tuple[np.ndarray, ...]] = None
+
+    def padded(self):
+        if self._padded is None:
+            self._padded = (MC.pad_ref(self.Y), MC.pad_ref(self.U),
+                            MC.pad_ref(self.V))
+        return self._padded
+
+
+class DPB:
+    """Decoded picture buffer with sliding-window marking (no MMCO).
+    The reference's vendor parser handled this internally; the display-order
+    queue analog is nv_dec.cpp:113-186."""
+
+    def __init__(self, max_refs: int = 16):
+        self.max_refs = max_refs
+        self.refs: List[RefPicture] = []
+
+    def clear(self):
+        self.refs = []
+
+    def add(self, pic: RefPicture):
+        self.refs.append(pic)
+        while len(self.refs) > self.max_refs:
+            self.refs.pop(0)
+
+    def list0(self, cur_frame_num: int, max_frame_num: int) -> List[RefPicture]:
+        """P ref list: descending PicNum (most recent first, wrap-aware)."""
+        def dist(r):
+            return (cur_frame_num - r.frame_num) % max_frame_num
+        return sorted(self.refs, key=dist)
+
+
 class H264ReferenceDecoder:
-    """Stateful Annex-B decoder (intra profile subset)."""
+    """Stateful Annex-B decoder (Baseline/Main progressive, CAVLC)."""
 
     def __init__(self):
         self.sps: Dict[int, SPS] = {}
         self.pps: Dict[int, PPS] = {}
         self.frames: List[DecodedFrame] = []
+        self.dpb = DPB()
 
     def decode_annexb(self, data: bytes) -> List[DecodedFrame]:
         out = []
@@ -159,17 +202,33 @@ class H264ReferenceDecoder:
         U = np.zeros((mbh * 8, mbw * 8), np.int32)
         V = np.zeros((mbh * 8, mbw * 8), np.int32)
         g = MB.MBGrids(mbw, mbh)
+        m = INTER.MotionGrids(mbw, mbh)
         fs = FrameSymbols(mbw, mbh)
         deblock_params = []
+        has_inter = False
+
+        if h0.is_idr:
+            self.dpb.clear()
+        self.dpb.max_refs = max(1, sps.max_num_ref_frames)
+        ref_list = self.dpb.list0(h0.frame_num, 1 << sps.log2_max_frame_num)
 
         for slice_idx, u in enumerate(units):
             hdr, r = parse_slice_header(u.rbsp, sps, pps, u.nal_unit_type,
                                         u.nal_ref_idc)
-            if hdr.slice_type != SLICE_I:
-                raise NotImplementedError("only I slices in reference decoder (round 1)")
             if pps.entropy_coding_mode_flag:
                 raise NotImplementedError("CABAC")
-            self._decode_slice_data(r, hdr, sps, pps, g, Y, U, V, slice_idx, fs)
+            if hdr.slice_type == SLICE_I:
+                self._decode_slice_data(r, hdr, sps, pps, g, Y, U, V,
+                                        slice_idx, fs)
+            elif hdr.slice_type == SLICE_P:
+                has_inter = True
+                refs = ref_list[:hdr.num_ref_idx_active_l0]
+                if not refs:
+                    raise ValueError("P slice with empty reference list")
+                self._decode_p_slice_data(r, hdr, sps, pps, g, m, Y, U, V,
+                                          slice_idx, refs, fs)
+            else:
+                raise NotImplementedError("B slices land in a later round")
             deblock_params.append(hdr)
 
         pre = (Y.copy(), U.copy(), V.copy())
@@ -183,15 +242,22 @@ class H264ReferenceDecoder:
                                    if pps.second_chroma_qp_index_offset is not None
                                    else pps.chroma_qp_index_offset)
         if fs.deblock_enabled:
-            bs_v, bs_h = DB.intra_frame_bs(mbh, mbw)
+            if has_inter:
+                bs_v, bs_h = compute_bs(g, m)
+            else:
+                bs_v, bs_h = DB.intra_frame_bs(mbh, mbw)
             DB.deblock_frame(Y, U, V, g.qp, bs_v, bs_h,
                              alpha_off=fs.alpha_off, beta_off=fs.beta_off,
                              chroma_qp_off=pps.chroma_qp_index_offset,
                              second_chroma_qp_off=pps.second_chroma_qp_index_offset)
-        return DecodedFrame(
+        frame = DecodedFrame(
             Y=Y.astype(np.uint8), U=U.astype(np.uint8), V=V.astype(np.uint8),
             frame_num=hdr.frame_num, is_idr=hdr.is_idr, qp_mb=g.qp.copy(),
             pre_deblock=pre, symbols=fs)
+        if units[0].nal_ref_idc != 0:
+            self.dpb.add(RefPicture(hdr.frame_num, Y.copy(), U.copy(),
+                                    V.copy()))
+        return frame
 
     def _sps_for(self, u: nal.NalUnit) -> SPS:
         # slice header parsing needs sps/pps; peek pps id quickly
@@ -227,10 +293,71 @@ class H264ReferenceDecoder:
             if not r.more_rbsp_data():
                 break
 
+    def _decode_p_slice_data(self, r: BitReader, hdr, sps: SPS, pps: PPS,
+                             g: MB.MBGrids, m: INTER.MotionGrids,
+                             Y, U, V, slice_idx: int, refs,
+                             fs: Optional[FrameSymbols] = None) -> None:
+        mbw = sps.mb_width
+        n_mbs = mbw * sps.mb_height
+        qp = pps.pic_init_qp + hdr.slice_qp_delta
+        addr = hdr.first_mb_in_slice
+        num_ref = hdr.num_ref_idx_active_l0
+        while True:
+            skip_run = r.ue()
+            for _ in range(skip_run):
+                if addr >= n_mbs:
+                    raise ValueError("skip run past end of picture")
+                my, mx = divmod(addr, mbw)
+                s = INTER.apply_skip(g, m, my, mx, slice_idx, qp)
+                reconstruct_inter_mb(Y, U, V, g, my, mx, slice_idx, s, refs,
+                                     pps)
+                if fs is not None:
+                    fill_mb_symbols(fs, my, mx, s, motion=m)
+                addr += 1
+            if not r.more_rbsp_data():
+                break
+            my, mx = divmod(addr, mbw)
+            mb_type = r.ue()
+            s = INTER.parse_p_macroblock(r, g, m, my, mx, slice_idx, qp,
+                                         mb_type, num_ref)
+            qp = s.qp
+            if s.mb_class == INTER.MB_P:
+                reconstruct_inter_mb(Y, U, V, g, my, mx, slice_idx, s, refs,
+                                     pps)
+            else:
+                reconstruct_intra_mb(Y, U, V, g, my, mx, slice_idx, s, pps)
+            if fs is not None:
+                fill_mb_symbols(fs, my, mx, s, motion=m)
+            addr += 1
+            if not r.more_rbsp_data():
+                break
 
-def fill_mb_symbols(fs: FrameSymbols, my: int, mx: int, s: MB.MBSymbols) -> None:
+
+def fill_mb_symbols(fs: FrameSymbols, my: int, mx: int, s: MB.MBSymbols,
+                    motion: Optional["INTER.MotionGrids"] = None) -> None:
     """Record one parsed MB into the dense symbol planes."""
     fs.qp[my, mx] = s.qp
+    if s.mb_class == INTER.MB_P:
+        fs.mb_class[my, mx] = 3
+        if fs.mv is None:
+            fs.mv = np.zeros((fs.mb_height * 4, fs.mb_width * 4, 2), np.int32)
+            fs.ref = np.full((fs.mb_height * 4, fs.mb_width * 4), -1, np.int32)
+        sl = (slice(my * 4, my * 4 + 4), slice(mx * 4, mx * 4 + 4))
+        fs.mv[sl] = motion.mv[sl]
+        fs.ref[sl] = motion.ref[sl]
+        for i in range(16):
+            bx = mx * 4 + int(MB.BLK_X[i]) // 4
+            by = my * 4 + int(MB.BLK_Y[i]) // 4
+            fs.luma_coeffs[by, bx] = scan_to_raster4x4(s.luma_ac[i])
+        for comp in range(2):
+            fs.chroma_dc[comp, my, mx] = np.asarray(
+                s.chroma_dc[comp], np.int32).reshape(2, 2)
+            for i in range(4):
+                bx = mx * 2 + int(MB.CBLK_X[i]) // 4
+                by = my * 2 + int(MB.CBLK_Y[i]) // 4
+                fs.chroma_coeffs[comp, by, bx] = scan_to_raster4x4(
+                    list(s.chroma_ac[comp][i]), dc=0)
+        return
     if s.mb_class == MB.MB_IPCM:
         fs.mb_class[my, mx] = MBCLASS_IPCM
         fs.has_pcm = True
@@ -268,6 +395,91 @@ def fill_mb_symbols(fs: FrameSymbols, my: int, mx: int, s: MB.MBSymbols) -> None
             by = my * 2 + int(MB.CBLK_Y[i]) // 4
             fs.chroma_coeffs[comp, by, bx] = scan_to_raster4x4(
                 list(s.chroma_ac[comp][i]), dc=0)
+
+
+def reconstruct_inter_mb(Y, U, V, g: MB.MBGrids, my: int, mx: int,
+                         cur_slice: int, s, refs, pps: PPS) -> None:
+    """Reconstruct one P macroblock: MC prediction + residual."""
+    x0, y0 = mx * 16, my * 16
+    predY = np.zeros((16, 16), np.int32)
+    predU = np.zeros((8, 8), np.int32)
+    predV = np.zeros((8, 8), np.int32)
+    for part in s.partitions:
+        ref = refs[part.ref_idx]
+        pY, pU, pV = ref.padded()
+        lx = part.bx * 4
+        ly = part.by * 4
+        w = part.w4 * 4
+        h = part.h4 * 4
+        blk = MC.mc_luma_block(pY, lx, ly, int(part.mv[0]), int(part.mv[1]),
+                               w, h)
+        predY[ly - y0:ly - y0 + h, lx - x0:lx - x0 + w] = blk
+        cx, cy = part.bx * 2, part.by * 2
+        cw, ch = part.w4 * 2, part.h4 * 2
+        cu = MC.mc_chroma_block(pU, cx, cy, int(part.mv[0]), int(part.mv[1]),
+                                cw, ch)
+        cv = MC.mc_chroma_block(pV, cx, cy, int(part.mv[0]), int(part.mv[1]),
+                                cw, ch)
+        predU[cy - my * 8:cy - my * 8 + ch, cx - mx * 8:cx - mx * 8 + cw] = cu
+        predV[cy - my * 8:cy - my * 8 + ch, cx - mx * 8:cx - mx * 8 + cw] = cv
+
+    qp = s.qp
+    mbres = np.zeros((16, 16), np.int32)
+    if s.cbp_luma:
+        for i in range(16):
+            if s.cbp_luma & (1 << (i >> 2)):
+                bx4, by4 = int(MB.BLK_X[i]), int(MB.BLK_Y[i])
+                blk = scan_to_raster4x4(s.luma_ac[i])
+                d = T.np_dequant_4x4(blk, qp)
+                mbres[by4:by4 + 4, bx4:bx4 + 4] = T.np_inverse_transform_4x4(d)
+    Y[y0:y0 + 16, x0:x0 + 16] = np.clip(predY + mbres, 0, 255)
+
+    for comp, (plane, pred) in ((0, (U, predU)), (1, (V, predV))):
+        qpc = int(T.chroma_qp(qp, pps.chroma_qp_offset(comp)))
+        res = np.zeros((8, 8), np.int32)
+        if s.cbp_chroma:
+            dc2 = np.asarray(s.chroma_dc[comp], np.int32).reshape(2, 2)
+            dc_vals = T.np_chroma_dc_decode(dc2, qpc)
+            for i in range(4):
+                bx4, by4 = int(MB.CBLK_X[i]), int(MB.CBLK_Y[i])
+                ac = scan_to_raster4x4(list(s.chroma_ac[comp][i]), dc=0)
+                d = T.np_dequant_4x4(ac, qpc)
+                d[0, 0] = dc_vals[by4 // 4, bx4 // 4]
+                res[by4:by4 + 4, bx4:bx4 + 4] = T.np_inverse_transform_4x4(d)
+        plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = np.clip(pred + res, 0, 255)
+
+
+def compute_bs(g: MB.MBGrids, m: INTER.MotionGrids):
+    """Boundary strengths for a frame with inter MBs (spec 8.7.2.1).
+
+    Vectorized over the 4x4 grid: intra rules first, then coefficients, then
+    motion differences."""
+    gh, gw = g.nz_luma.shape
+    mb_intra = (g.mb_class >= 0) & (g.mb_class != INTER.MB_P)
+    blk_intra = np.repeat(np.repeat(mb_intra, 4, 0), 4, 1)
+    nz = g.nz_luma > 0
+
+    def edge_bs(p_sl, q_sl, mb_edge):
+        intra_either = blk_intra[p_sl] | blk_intra[q_sl]
+        bs = np.where(intra_either, np.where(mb_edge, 4, 3), 0)
+        coeff = nz[p_sl] | nz[q_sl]
+        mvd = (np.abs(m.mv[p_sl][..., 0] - m.mv[q_sl][..., 0]) >= 4) | \
+              (np.abs(m.mv[p_sl][..., 1] - m.mv[q_sl][..., 1]) >= 4)
+        refd = m.ref[p_sl] != m.ref[q_sl]
+        inter_bs = np.where(coeff, 2, np.where(mvd | refd, 1, 0))
+        return np.where(intra_either, bs, inter_bs)
+
+    bs_v = np.zeros((gh, gw), np.int32)
+    bs_h = np.zeros((gh, gw), np.int32)
+    col_is_mb_edge = (np.arange(1, gw) % 4) == 0
+    row_is_mb_edge = (np.arange(1, gh) % 4) == 0
+    bs_v[:, 1:] = edge_bs((slice(None), slice(0, gw - 1)),
+                          (slice(None), slice(1, gw)),
+                          col_is_mb_edge[None, :])
+    bs_h[1:, :] = edge_bs((slice(0, gh - 1), slice(None)),
+                          (slice(1, gh), slice(None)),
+                          row_is_mb_edge[:, None])
+    return bs_v, bs_h
 
 
 def reconstruct_intra_mb(Y, U, V, g: MB.MBGrids, my: int, mx: int,

@@ -50,6 +50,9 @@ class FrameSymbols:
     pcm_y: np.ndarray = None         # [mbh*16, mbw*16] int32 overlay (or None)
     pcm_u: np.ndarray = None
     pcm_v: np.ndarray = None
+    # inter motion planes (None for all-intra frames)
+    mv: np.ndarray = None            # [mbh*4, mbw*4, 2] int32 quarter-pel
+    ref: np.ndarray = None           # [mbh*4, mbw*4] int32; -1 = intra
     # deblock control (from the picture's slice headers)
     deblock_enabled: bool = True
     alpha_off: int = 0
