@@ -292,7 +292,9 @@ class EncoderSession:
             raise NotImplementedError("B-frames land with the inter path")
         from ..codec.h264.refenc import EncoderConfig, H264ReferenceEncoder
         self._enc = H264ReferenceEncoder(EncoderConfig(
-            self.params.width, self.params.height, qp=self.params.effective_qp()))
+            self.params.width, self.params.height,
+            qp=self.params.effective_qp(),
+            gop_len=max(1, self.params.gop_len)))
         self._out: deque = deque()
         self._eof = False
         self._meter = _FpsMeter()
@@ -311,11 +313,12 @@ class EncoderSession:
         if not self._headers_sent:
             payload += self._enc.headers_annexb()
             self._headers_sent = True
-        # round 1: all-intra (gop_len honored trivially; inter path pending)
-        nal = self._enc.encode_idr(np.asarray(Y, np.int32),
-                                   np.asarray(U, np.int32),
-                                   np.asarray(V, np.int32))
-        self._out.append((payload + nal, True))
+        is_key = (self._enc.cfg.gop_len <= 1
+                  or self._enc.frame_idx % self._enc.cfg.gop_len == 0)
+        nal = self._enc.encode_frame(np.asarray(Y, np.int32),
+                                     np.asarray(U, np.int32),
+                                     np.asarray(V, np.int32))
+        self._out.append((payload + nal, is_key))
         self._meter.tick_frame()
 
     def output_bitstream(self) -> Optional[Tuple[bytes, bool]]:

@@ -20,18 +20,25 @@ import numpy as np
 
 from ...ops import deblock as DB
 from ...ops import intra as IP
+from ...ops import mc as MC
 from ...ops import transform as T
 from ...utils.bits import BitWriter
+from . import inter as INTER
 from . import macroblock as MB
 from . import nal
 from .params import PPS, SPS
-from .refdec import recon_i4_block, scan_to_raster4x4, _tr_available
-from .slicehdr import SLICE_I, SliceHeader, write_slice_header
+from .refdec import (RefPicture, compute_bs, recon_i4_block,
+                     reconstruct_inter_mb, scan_to_raster4x4, _tr_available)
+from .slicehdr import SLICE_I, SLICE_P, SliceHeader, write_slice_header
 
 
 def raster_to_scan4x4(blk: np.ndarray, ac_only: bool = False) -> List[int]:
     flat = blk.reshape(16)[T.ZIGZAG4x4]
     return [int(v) for v in (flat[1:] if ac_only else flat)]
+
+
+def _clampmv(c, rng):
+    return (int(np.clip(c[0], -rng, rng)), int(np.clip(c[1], -rng, rng)))
 
 
 @dataclass
@@ -43,6 +50,8 @@ class EncoderConfig:
     disable_deblock: bool = False
     # I_16x16 is tried when True (it usually wins on flat areas)
     enable_i16: bool = True
+    gop_len: int = 1          # 1 = all-intra; >1 = IDR + P...P closed GOPs
+    search_range: int = 16    # integer-pel ME range
 
 
 class H264ReferenceEncoder:
@@ -63,7 +72,21 @@ class H264ReferenceEncoder:
         self.pps = PPS(pic_init_qp=cfg.qp,
                        deblocking_filter_control_present_flag=1)
         self.idr_count = 0
+        self.frame_idx = 0
+        self.frame_num = 0
+        self.dpb: List[RefPicture] = []
         self.last_recon: Optional[Tuple[np.ndarray, ...]] = None
+
+    # ------------------------------------------------------------------
+
+    def encode_frame(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> bytes:
+        """Encode the next frame per the GOP structure (IDR or P)."""
+        if self.cfg.gop_len <= 1 or self.frame_idx % self.cfg.gop_len == 0:
+            out = self.encode_idr(Y, U, V)
+        else:
+            out = self.encode_p(Y, U, V)
+        self.frame_idx += 1
+        return out
 
     # ------------------------------------------------------------------
 
@@ -104,7 +127,204 @@ class H264ReferenceEncoder:
         self.last_recon = (Yr.astype(np.uint8), Ur.astype(np.uint8),
                            Vr.astype(np.uint8))
         self.last_pre_deblock = pre
+        self.frame_num = 0
+        self.dpb = [RefPicture(0, Yr.copy(), Ur.copy(), Vr.copy())]
         return nal.write_nal_unit(3, nal.NAL_SLICE_IDR, sw.bytes())
+
+    def encode_p(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> bytes:
+        """Encode one P frame (16x16 partitions + P_Skip + intra fallback)."""
+        Yp = self._pad(np.asarray(Y, np.int32))
+        Up = self._pad(np.asarray(U, np.int32), c=True)
+        Vp = self._pad(np.asarray(V, np.int32), c=True)
+        self.frame_num = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
+        hdr = SliceHeader(
+            slice_type=SLICE_P, frame_num=self.frame_num, is_idr=False,
+            nal_ref_idc=2, num_ref_idx_active_l0=1,
+            disable_deblocking_filter_idc=1 if self.cfg.disable_deblock else 0)
+        sw = write_slice_header(hdr, self.sps, self.pps)
+
+        g = MB.MBGrids(self.mbw, self.mbh)
+        m = INTER.MotionGrids(self.mbw, self.mbh)
+        Yr = np.zeros((self.mbh * 16, self.mbw * 16), np.int32)
+        Ur = np.zeros((self.mbh * 8, self.mbw * 8), np.int32)
+        Vr = np.zeros((self.mbh * 8, self.mbw * 8), np.int32)
+        qp = self.cfg.qp
+        lam = max(1, 1 << max(0, (qp - 12) // 6))
+        refs = self.dpb[:1]
+        refY, refU, refV = refs[0].padded()
+
+        skip_run = 0
+        for my in range(self.mbh):
+            for mx in range(self.mbw):
+                s, is_skip = self._encode_p_mb(
+                    g, m, my, mx, qp, lam, Yp, Up, Vp, Yr, Ur, Vr, refs,
+                    refY)
+                if is_skip:
+                    skip_run += 1
+                    continue
+                sw.ue(skip_run)
+                skip_run = 0
+                INTER.write_p_macroblock(sw, g, m, my, mx, 0, qp, s, 1)
+        if skip_run:
+            sw.ue(skip_run)
+        sw.rbsp_trailing_bits()
+
+        pre = (Yr.copy(), Ur.copy(), Vr.copy())
+        if not self.cfg.disable_deblock:
+            bs_v, bs_h = compute_bs(g, m)
+            DB.deblock_frame(Yr, Ur, Vr, g.qp, bs_v, bs_h,
+                             chroma_qp_off=self.pps.chroma_qp_index_offset)
+        self.last_recon = (Yr.astype(np.uint8), Ur.astype(np.uint8),
+                           Vr.astype(np.uint8))
+        self.last_pre_deblock = pre
+        self.dpb = [RefPicture(self.frame_num, Yr.copy(), Ur.copy(),
+                               Vr.copy())]
+        return nal.write_nal_unit(2, nal.NAL_SLICE_NON_IDR, sw.bytes())
+
+    # ------------------------------------------------------------------
+
+    def _me_16x16(self, src, refY, x0, y0, mvp, lam):
+        """Diamond integer-pel + quarter-pel refinement. Returns (mv, cost)."""
+        from ...utils.bits import se_len
+        rng = self.cfg.search_range
+        pad = MC.REF_PAD
+
+        def sad_full(dx, dy):
+            w = refY[y0 + dy + pad:y0 + dy + 16 + pad,
+                     x0 + dx + pad:x0 + dx + 16 + pad]
+            return int(np.abs(src - w).sum())
+
+        def cost_of(mvx, mvy, sad):
+            return sad + lam * (se_len(int(mvx - mvp[0]))
+                                + se_len(int(mvy - mvp[1])))
+
+        # integer-pel diamond from both the predictor and (0,0)
+        cands = {(int(mvp[0]) >> 2, int(mvp[1]) >> 2), (0, 0)}
+        best = None
+        for c in cands:
+            sad = sad_full(*_clampmv(c, rng))
+            cst = cost_of(c[0] * 4, c[1] * 4, sad)
+            if best is None or cst < best[0]:
+                best = (cst, _clampmv(c, rng))
+        big = [(-2, 0), (2, 0), (0, -2), (0, 2), (-1, -1), (1, 1), (-1, 1), (1, -1)]
+        small = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        for pattern in (big, small):
+            improved = True
+            iters = 0
+            while improved and iters < rng:
+                improved = False
+                iters += 1
+                cx, cy = best[1]
+                for dx, dy in pattern:
+                    c = _clampmv((cx + dx, cy + dy), rng)
+                    cst = cost_of(c[0] * 4, c[1] * 4, sad_full(*c))
+                    if cst < best[0]:
+                        best = (cst, c)
+                        improved = True
+        # sub-pel refinement (half then quarter)
+        bq = (best[1][0] * 4, best[1][1] * 4)
+        best_sub = (best[0], bq)
+        for step in (2, 1):
+            cx, cy = best_sub[1]
+            for dx, dy in ((-step, 0), (step, 0), (0, -step), (0, step),
+                           (-step, -step), (step, step), (-step, step),
+                           (step, -step)):
+                mv = (cx + dx, cy + dy)
+                blk = MC.mc_luma_block(refY, x0, y0, mv[0], mv[1], 16, 16)
+                sad = int(np.abs(src - blk).sum())
+                cst = cost_of(mv[0], mv[1], sad)
+                if cst < best_sub[0]:
+                    best_sub = (cst, mv)
+        return np.array(best_sub[1], np.int32), best_sub[0]
+
+    def _encode_p_mb(self, g, m, my, mx, qp, lam, Ys, Us, Vs, Yr, Ur, Vr,
+                     refs, refY):
+        x0, y0 = mx * 16, my * 16
+        src = Ys[y0:y0 + 16, x0:x0 + 16]
+        # predictors need provisional availability marking
+        g.mb_class[my, mx] = INTER.MB_P
+        g.slice_id[my, mx] = 0
+        skip_mv = INTER.pskip_mv(g, m, my, mx, 0)
+        mvp = INTER.predict_mv(g, m, my * 4, mx * 4, 4, 4, 0, 0)
+        mv, me_cost = self._me_16x16(src, refY, x0, y0, mvp, lam)
+
+        # build the inter candidate
+        s = INTER.PMBSymbols()
+        s.mb_class = INTER.MB_P
+        s.p_type = INTER.P_16x16
+        s.qp = qp
+        predY = MC.mc_luma_block(refY, x0, y0, int(mv[0]), int(mv[1]), 16, 16)
+        resid = src - predY
+        blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+        wall = T.np_forward_transform_4x4(blocks.reshape(16, 4, 4))
+        z = T.np_quant_4x4(wall, qp, intra=False)
+        cbp = 0
+        for i in range(16):
+            bx4, by4 = int(MB.BLK_X[i]), int(MB.BLK_Y[i])
+            zb = z[(by4 // 4) * 4 + bx4 // 4]
+            s.luma_ac[i] = raster_to_scan4x4(zb)
+            if zb.any():
+                cbp |= 1 << (i >> 2)
+        s.cbp_luma = cbp
+        for i in range(16):
+            if not (cbp & (1 << (i >> 2))):
+                s.luma_ac[i] = [0] * 16
+        # chroma residual
+        refUp, refVp = refs[0].padded()[1], refs[0].padded()[2]
+        any_dc = any_ac = False
+        for comp, (plane_s, refp) in enumerate(((Us, refUp), (Vs, refVp))):
+            qpc = int(T.chroma_qp(qp, self.pps.chroma_qp_offset(comp)))
+            predC = MC.mc_chroma_block(refp, mx * 8, my * 8, int(mv[0]),
+                                       int(mv[1]), 8, 8)
+            residc = plane_s[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] - predC
+            cblocks = residc.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+            wc = T.np_forward_transform_4x4(cblocks.reshape(4, 4, 4))
+            dc = wc[:, 0, 0].reshape(2, 2)
+            dch = T.hadamard_2x2(dc.astype(np.int32), np)
+            zdc = T.quant_dc(dch, qpc, np, T.QUANT_MF4x4)
+            if zdc.any():
+                any_dc = True
+            s.chroma_dc[comp] = [int(v) for v in zdc.reshape(4)]
+            zac = T.np_quant_4x4(wc, qpc, intra=False)
+            for i in range(4):
+                zb = zac[i].copy()
+                zb[0, 0] = 0
+                if zb.any():
+                    any_ac = True
+                s.chroma_ac[comp][i] = raster_to_scan4x4(zb, ac_only=True)
+        s.cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+        if s.cbp_chroma == 0:
+            for comp in range(2):
+                s.chroma_dc[comp] = [0] * 4
+                for i in range(4):
+                    s.chroma_ac[comp][i] = [0] * 15
+        elif s.cbp_chroma == 1:
+            for comp in range(2):
+                for i in range(4):
+                    s.chroma_ac[comp][i] = [0] * 15
+        s.partitions = [INTER.InterPartition(my * 4, mx * 4, 4, 4, 0, mv)]
+
+        # skip?
+        if (s.cbp_luma == 0 and s.cbp_chroma == 0
+                and mv[0] == skip_mv[0] and mv[1] == skip_mv[1]):
+            sk = INTER.apply_skip(g, m, my, mx, 0, qp)
+            reconstruct_inter_mb(Yr, Ur, Vr, g, my, mx, 0, sk, refs, self.pps)
+            return sk, True
+
+        # inter vs intra decision (cheap): inter unless MC fails badly
+        intra_thresh = 16 * 16 * 24
+        if me_cost > intra_thresh:
+            s_intra = self._encode_mb(g, my, mx, qp, lam, Ys, Us, Vs,
+                                      Yr, Ur, Vr)
+            m.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+            m.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+            return s_intra, False
+
+        # commit grids happen in write_p_macroblock; recon through the decoder
+        # path for bit-exactness
+        g.qp[my, mx] = s.qp
+        reconstruct_inter_mb(Yr, Ur, Vr, g, my, mx, 0, s, refs, self.pps)
+        return s, False
 
     def recon_cropped(self):
         Yr, Ur, Vr = self.last_recon
