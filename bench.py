@@ -41,6 +41,7 @@ def make_test_stream(W=1920, H=1080, n_frames=8, qp=30):
 
 
 def main():
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
     W, H, N = 1920, 1080, int(os.environ.get("JMX_BENCH_FRAMES", "16"))
     stream = make_test_stream(W, H, N)
     log(f"bench stream: {len(stream)/1024:.0f} KB, {N} frames {W}x{H}")
@@ -85,7 +86,12 @@ def main():
     jax.block_until_ready(out)
     log(f"compile+first batch: {time.time()-t0:.1f}s")
 
-    # timed runs: host parse (threads) + device decode, 3 repetitions
+    # timed runs: host parse (threads) + transfer + device decode. Completion
+    # is forced by fetching an on-device checksum (block_until_ready can
+    # return early on tunneled backends). Decoded frames stay device-resident
+    # (the TPU-native pipeline consumes them on-device; fetching frames over
+    # the tunnel is not part of the decode metric).
+    import jax.numpy as jnp
     pool = ThreadPoolExecutor(max_workers=os.cpu_count() or 2)
     best = 0.0
     for rep in range(3):
@@ -93,19 +99,21 @@ def main():
         fss = list(pool.map(parse_one, chunks))
         args = stack_symbols([f for f, _ in fss])
         out = decode_frames_batch(mbh, mbw, *args, deblock=True)
-        jax.block_until_ready(out)
+        checksum = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
         dt = time.time() - t0
         fps = len(chunks) / dt
-        log(f"rep {rep}: {dt*1000:.0f} ms for {len(chunks)} frames = {fps:.2f} fps")
+        log(f"rep {rep}: {dt*1000:.0f} ms for {len(chunks)} frames = "
+            f"{fps:.2f} fps (checksum {checksum})")
         best = max(best, fps)
 
     # sanity: output must match the independent reference decoder (libavcodec
-    # oracle) bit-exactly on every frame
+    # oracle) bit-exactly on every frame. Compare ON DEVICE (device->host
+    # fetches are pathologically slow through the tunnel; host->device of the
+    # golden frames is cheap by comparison).
     from util_oracle import oracle_decode
     golden, _, _ = oracle_decode(stream)
-    Ys = np.asarray(out[0])
-    exact = all(bool((Ys[i][:H, :W] == golden[i][0]).all())
-                for i in range(len(golden)))
+    gY = jnp.asarray(np.stack([g[0] for g in golden]))
+    exact = bool(jnp.all(out[0][:len(golden), :H, :W] == gY))
     log(f"bit-exact vs reference decoder: {exact}")
 
     result = {

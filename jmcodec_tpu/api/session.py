@@ -224,31 +224,56 @@ class DecoderSession:
         return last
 
     def _decode_chunk(self, chunk: bytes) -> None:
+        self._cache_headers(chunk)
         if self._parser is not None:
-            pics = self._parser.parse_annexb(chunk)
+            try:
+                pics = self._parser.parse_annexb(chunk)
+            except NotImplementedError:
+                # features outside the fast path (P/B slices, PCM, CABAC for
+                # now) fall back to the host reference decoder
+                self._decode_chunk_host(chunk)
+                return
             for fs, sps in pics:
                 self._stream_info = (sps.width, sps.height)
                 if self._use_device and not fs.has_pcm:
                     from ..kernels.recon_tiles import decode_frame_symbols
                     Y, U, V = decode_frame_symbols(fs)
                 else:
-                    Y, U, V = self._host_recon(fs, sps)
+                    self._decode_chunk_host(chunk)
+                    return
                 w, h = sps.width, sps.height
                 self._frames.append((Y[:h, :w], U[:h // 2, :w // 2],
                                      V[:h // 2, :w // 2]))
                 self._meter.tick_frame()
         else:
-            out = self._refdec.decode_annexb(chunk)
-            for fr in out:
-                sps = list(self._refdec.sps.values())[0]
-                self._stream_info = (sps.width, sps.height)
-                self._frames.append(fr.crop(sps))
-                self._meter.tick_frame()
+            self._decode_chunk_host(chunk)
 
-    def _host_recon(self, fs, sps):
-        from ..codec.h264.refdec import H264ReferenceDecoder  # noqa
-        raise NotImplementedError(
-            "host recon from symbols (PCM streams) lands with the PCM path")
+    def _cache_headers(self, chunk: bytes) -> None:
+        """Remember raw SPS/PPS NALs so a mid-stream fallback decoder can be
+        primed with parameter sets it never saw."""
+        from ..codec.h264 import nal as NAL
+        for s, e in NAL.split_annexb(chunk):
+            typ = chunk[s] & 0x1F
+            if typ in (7, 8):
+                sc = s - 3
+                if sc > 0 and chunk[sc - 1] == 0:
+                    sc -= 1
+                if not hasattr(self, "_hdr_cache"):
+                    self._hdr_cache = {}
+                self._hdr_cache[typ] = chunk[sc:e]
+
+    def _decode_chunk_host(self, chunk: bytes) -> None:
+        if self._refdec is None:
+            from ..codec.h264.refdec import H264ReferenceDecoder
+            self._refdec = H264ReferenceDecoder()
+        if not self._refdec.sps and getattr(self, "_hdr_cache", None):
+            chunk = b"".join(self._hdr_cache.get(t, b"") for t in (7, 8)) + chunk
+        out = self._refdec.decode_annexb(chunk)
+        for fr in out:
+            sps = list(self._refdec.sps.values())[0]
+            self._stream_info = (sps.width, sps.height)
+            self._frames.append(fr.crop(sps))
+            self._meter.tick_frame()
 
 
 class EncoderParams:

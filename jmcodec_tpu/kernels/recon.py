@@ -475,6 +475,12 @@ def decode_frame(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
                  deblock: bool = True):
     """Device decode of one frame from symbol planes -> (Y, U, V) uint8
     (padded to MB multiples; caller crops)."""
+    (mb_class, qp, i4_modes, i16_mode, chroma_mode, luma_coeffs, luma_dc,
+     chroma_coeffs, chroma_dc, avail_left, avail_top, avail_topright) = [
+        a.astype(jnp.int32) if a.dtype != jnp.int32 else a
+        for a in (mb_class, qp, i4_modes, i16_mode, chroma_mode, luma_coeffs,
+                  luma_dc, chroma_coeffs, chroma_dc, avail_left, avail_top,
+                  avail_topright)]
     sym = dict(mb_class=mb_class, qp=qp, i4_modes=i4_modes, i16_mode=i16_mode,
                chroma_mode=chroma_mode, avail_left=avail_left,
                avail_top=avail_top, avail_topright=avail_topright)
@@ -516,17 +522,30 @@ def decode_frames_batch(mbh, mbw, mb_class, qp, i4_modes, i16_mode,
 
 
 def stack_symbols(fss):
-    """Stack a list of same-geometry FrameSymbols into batched device args."""
+    """Stack a list of same-geometry FrameSymbols into batched device args.
+
+    Transfers are the bottleneck on tunneled TPUs, so planes ship in the
+    narrowest exact dtype (coefficients fit int16 at all legal QPs; metadata
+    fits int8) and are widened back to int32 on device."""
     import numpy as _np
-    fields = ["mb_class", "qp", "i4_modes", "i16_mode", "chroma_mode",
-              "luma_coeffs", "luma_dc", "chroma_coeffs", "chroma_dc",
-              "avail_left", "avail_top", "avail_topright"]
-    arrs = [jnp.asarray(_np.stack([getattr(f, n) for f in fss]))
-            for n in fields]
+    narrow = {"mb_class": _np.int8, "qp": _np.int8, "i4_modes": _np.int8,
+              "i16_mode": _np.int8, "chroma_mode": _np.int8,
+              "luma_coeffs": _np.int16, "luma_dc": _np.int16,
+              "chroma_coeffs": _np.int16, "chroma_dc": _np.int16,
+              "avail_left": _np.int8, "avail_top": _np.int8,
+              "avail_topright": _np.int8}
+    arrs = [jnp.asarray(_np.stack([getattr(f, n) for f in fss])
+                        .astype(dt, copy=False))
+            for n, dt in narrow.items()]
     scal = [jnp.asarray(_np.array([getattr(f, n) for f in fss], _np.int32))
             for n in ["alpha_off", "beta_off", "chroma_qp_off",
                       "second_chroma_qp_off"]]
     return arrs + scal
+
+
+def widen_symbol_args(args):
+    """Cast narrow transfer dtypes back to int32 (first op on device)."""
+    return [a.astype(jnp.int32) if a.dtype != jnp.int32 else a for a in args]
 
 
 def decode_frame_symbols(fs, deblock=None):

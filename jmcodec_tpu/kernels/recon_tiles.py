@@ -376,6 +376,12 @@ def decode_frame(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
                  alpha_off, beta_off, chroma_qp_off, second_chroma_qp_off,
                  deblock: bool = True):
     """Tile-space device decode (drop-in for recon.decode_frame)."""
+    (mb_class, qp, i4_modes, i16_mode, chroma_mode, luma_coeffs, luma_dc,
+     chroma_coeffs, chroma_dc, avail_left, avail_top, avail_topright) = [
+        a.astype(jnp.int32) if a.dtype != jnp.int32 else a
+        for a in (mb_class, qp, i4_modes, i16_mode, chroma_mode, luma_coeffs,
+                  luma_dc, chroma_coeffs, chroma_dc, avail_left, avail_top,
+                  avail_topright)]
     mys, mxs, valid = _skew_geometry(mbh, mbw)
     mys_j = jnp.asarray(mys)
     mxs_j = jnp.asarray(mxs)
