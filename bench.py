@@ -94,6 +94,7 @@ def main():
     import jax.numpy as jnp
     pool = ThreadPoolExecutor(max_workers=os.cpu_count() or 2)
     best = 0.0
+    best_compute = 0.0
     for rep in range(3):
         t0 = time.time()
         fss = list(pool.map(parse_one, chunks))
@@ -102,9 +103,16 @@ def main():
         checksum = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
         dt = time.time() - t0
         fps = len(chunks) / dt
-        log(f"rep {rep}: {dt*1000:.0f} ms for {len(chunks)} frames = "
-            f"{fps:.2f} fps (checksum {checksum})")
+        # compute-only: args already resident
+        t1 = time.time()
+        out = decode_frames_batch(mbh, mbw, *args, deblock=True)
+        checksum = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
+        dtc = time.time() - t1
+        cfps = len(chunks) / dtc
+        log(f"rep {rep}: e2e {dt*1000:.0f} ms = {fps:.2f} fps | device "
+            f"{dtc*1000:.0f} ms = {cfps:.2f} fps (checksum {checksum})")
         best = max(best, fps)
+        best_compute = max(best_compute, cfps)
 
     # sanity: output must match the independent reference decoder (libavcodec
     # oracle) bit-exactly on every frame. Compare ON DEVICE (device->host
@@ -121,8 +129,12 @@ def main():
         "value": round(best, 2),
         "unit": "fps",
         "vs_baseline": round(best / 60.0, 3),
+        "device_compute_fps": round(best_compute, 2),
         "bit_exact": exact,
         "platform": platform,
+        "note": ("e2e includes host CAVLC parse + H2D transfer; this dev "
+                 "environment tunnels the TPU at ~60 MB/s H2D which bounds "
+                 "e2e; device_compute_fps is the on-chip decode rate"),
     }
     print(json.dumps(result))
 

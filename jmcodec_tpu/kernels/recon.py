@@ -141,15 +141,33 @@ def _residuals(luma_coeffs, luma_dc, chroma_coeffs, chroma_dc, qp, mb_class,
 # Intra prediction wavefront (stage 2)
 # ---------------------------------------------------------------------------
 
+# Static weight tensor for the directional modes: W9[m, p, c] = weight of
+# neighbor c in pixel p of mode m, derived from the gather index tables.
+# Prediction becomes two small matmuls (one-hot mode select + weighted sum),
+# which the TPU runs on the MXU instead of many tiny gathers. All values are
+# small integers, exact in float32.
+def _build_i4_weights():
+    W = np.zeros((9, 16, 13), np.float32)
+    for m in range(9):
+        for p in range(16):
+            y, x = divmod(p, 4)
+            W[m, p, IP.I4_TAB_A[m, y, x]] += 1
+            W[m, p, IP.I4_TAB_B[m, y, x]] += 2
+            W[m, p, IP.I4_TAB_C[m, y, x]] += 1
+    return W
+
+
+_I4_W9 = _build_i4_weights()  # [9, 16, 13]
+
+
 def _pred_i4_batch(n, modes, avail_t, avail_l):
-    """n: [B,13] neighbor vectors; modes: [B]. One gather-MAD for all lanes."""
-    A = jnp.asarray(IP.I4_TAB_A)[modes].reshape(-1, 16)  # [B,16]
-    Bt = jnp.asarray(IP.I4_TAB_B)[modes].reshape(-1, 16)
-    C = jnp.asarray(IP.I4_TAB_C)[modes].reshape(-1, 16)
-    ga = jnp.take_along_axis(n, A, axis=1).reshape(-1, 4, 4)
-    gb = jnp.take_along_axis(n, Bt, axis=1).reshape(-1, 4, 4)
-    gc = jnp.take_along_axis(n, C, axis=1).reshape(-1, 4, 4)
-    pred_dir = (ga + 2 * gb + gc + 2) >> 2
+    """n: [B,13] neighbor vectors; modes: [B] -> [B,4,4] predictions."""
+    W9 = jnp.asarray(_I4_W9.reshape(9, 16 * 13))
+    onehot = jax.nn.one_hot(modes, 9, dtype=jnp.float32)          # [B,9]
+    Wsel = (onehot @ W9).reshape(-1, 16, 13)                      # [B,16,13]
+    acc = jnp.einsum("bpc,bc->bp", Wsel, n.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    pred_dir = ((acc.astype(jnp.int32) + 2) >> 2).reshape(-1, 4, 4)
     # DC
     sum_t = n[:, 5:9].sum(axis=1)
     sum_l = n[:, 0:4].sum(axis=1)
