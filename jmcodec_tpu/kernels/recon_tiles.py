@@ -80,16 +80,24 @@ from .recon import _pred_16_batch, _pred_chroma_batch, _pred_i4_batch, _TR_SRC
 
 
 def _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t,
-                     i16_t, cmode_t, a_l_t, a_t_t, a_tr_t, valid_t, bmax):
-    """Scan over diagonals; returns (Y_tiles, U_tiles, V_tiles) skewed."""
+                     i16_t, cmode_t, a_l_t, a_t_t, a_tr_t, valid_t, bmax,
+                     inter_y_t=None, inter_u_t=None, inter_v_t=None):
+    """Scan over diagonals; returns (Y_tiles, U_tiles, V_tiles) skewed.
+    inter_*_t: pre-computed MC+residual recon tiles for inter MBs (class 3),
+    passed through by class select (inter recon has no wavefront deps)."""
+    has_inter = inter_y_t is not None
 
     def roll1(x):
         return jnp.roll(x, 1, axis=0)
 
     def body(carry, xs):
         (P1y, P2y, P3y, P1u, P2u, P3u, P1v, P2v, P3v) = carry
-        (resid, resid_u, resid_v, modes, cls, i16m, cmode,
-         a_l, a_t, a_tr, valid) = xs
+        if has_inter:
+            (resid, resid_u, resid_v, modes, cls, i16m, cmode,
+             a_l, a_t, a_tr, valid, int_y, int_u, int_v) = xs
+        else:
+            (resid, resid_u, resid_v, modes, cls, i16m, cmode,
+             a_l, a_t, a_tr, valid) = xs
         act = valid == 1
         a_l = (a_l == 1)
         a_t = (a_t == 1)
@@ -161,12 +169,14 @@ def _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t,
         pred16 = _pred_16_batch(t16, l16, tl16, i16m, a_t, a_l)
         rec16 = jnp.clip(pred16 + resid, 0, 255)
         Rfin = jnp.where((cls == 1)[:, None, None], rec16, R)
+        if has_inter:
+            Rfin = jnp.where((cls == 3)[:, None, None], int_y, Rfin)
         Rfin = jnp.where(act[:, None, None], Rfin, 0)
 
         # ---- chroma ----
         outs_c = []
-        for (P1c, P2c, P3c, residc) in ((P1u, P2u, P3u, resid_u),
-                                        (P1v, P2v, P3v, resid_v)):
+        for ci, (P1c, P2c, P3c, residc) in enumerate(
+                ((P1u, P2u, P3u, resid_u), (P1v, P2v, P3v, resid_v))):
             top_c = roll1(P2c)[:, 7, :]
             left_c = P1c[:, :, 7]
             tl_c = roll1(P3c)[:, 7, 7]
@@ -175,6 +185,9 @@ def _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t,
             tlc = jnp.where(a_t & a_l, tl_c, 0)
             predc = _pred_chroma_batch(t8c, l8c, tlc, cmode, a_t, a_l)
             recc = jnp.clip(predc + residc, 0, 255)
+            if has_inter:
+                recc = jnp.where((cls == 3)[:, None, None],
+                                 int_u if ci == 0 else int_v, recc)
             outs_c.append(jnp.where(act[:, None, None], recc, 0))
 
         new_carry = (Rfin, P1y, P2y, outs_c[0], P1u, P2u,
@@ -184,10 +197,166 @@ def _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t,
     z16 = jnp.zeros((bmax, 16, 16), jnp.int32)
     z8 = jnp.zeros((bmax, 8, 8), jnp.int32)
     carry0 = (z16, z16, z16, z8, z8, z8, z8, z8, z8)
-    _, ys = jax.lax.scan(body, carry0,
-                         (resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t,
-                          i16_t, cmode_t, a_l_t, a_t_t, a_tr_t, valid_t))
+    xs = (resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t,
+          i16_t, cmode_t, a_l_t, a_t_t, a_tr_t, valid_t)
+    if has_inter:
+        xs = xs + (inter_y_t, inter_u_t, inter_v_t)
+    _, ys = jax.lax.scan(body, carry0, xs)
     return ys
+
+
+# ---------------------------------------------------------------------------
+# inter prediction (batched, wavefront-free: reads only reference frames)
+# ---------------------------------------------------------------------------
+
+MC_PAD = 32  # reference-plane padding (covers legal MVs after clipping)
+
+
+def prep_ref_planes(Y, U, V):
+    """Host-side helper: pad one reference picture for device MC.
+    Returns dict of numpy planes (int32)."""
+    py = np.pad(np.asarray(Y, np.int32), MC_PAD, mode="edge")
+    pu = np.pad(np.asarray(U, np.int32), MC_PAD // 2, mode="edge")
+    pv = np.pad(np.asarray(V, np.int32), MC_PAD // 2, mode="edge")
+    return py, pu, pv
+
+
+def _halfpel_planes(refp):
+    """refp: [n_refs, Hp, Wp] int32. Returns (G, b, h, j, b1) planes; b/h/j
+    per spec 8.4.2.2.1 (b1 is the unrounded horizontal intermediate)."""
+    x = refp
+    xpad = jnp.pad(x, ((0, 0), (2, 3), (2, 3)), mode="edge")
+
+    def six_h(a):
+        return (a[:, :, 0:-5] - 5 * a[:, :, 1:-4] + 20 * a[:, :, 2:-3]
+                + 20 * a[:, :, 3:-2] - 5 * a[:, :, 4:-1] + a[:, :, 5:])
+
+    def six_v(a):
+        return (a[:, 0:-5, :] - 5 * a[:, 1:-4, :] + 20 * a[:, 2:-3, :]
+                + 20 * a[:, 3:-2, :] - 5 * a[:, 4:-1, :] + a[:, 5:, :])
+
+    b1 = six_h(xpad)[:, 2:-3, :]                 # [n, Hp, Wp]
+    b = jnp.clip((b1 + 16) >> 5, 0, 255)
+    h1 = six_v(xpad)[:, :, 2:-3]
+    hh = jnp.clip((h1 + 16) >> 5, 0, 255)
+    b1pad = jnp.pad(b1, ((0, 0), (2, 3), (0, 0)), mode="edge")
+    j1 = six_v(b1pad)
+    jj = jnp.clip((j1 + 512) >> 10, 0, 255)
+    return x, b, hh, jj
+
+
+# For each (fx, fy): (plane1, dx1, dy1, plane2, dx2, dy2, is_avg)
+# planes: 0=G 1=b 2=h 3=j ; quarter positions average two planes.
+_MC_SEL = np.zeros((4, 4, 7), np.int32)
+for _fy in range(4):
+    for _fx in range(4):
+        G, B_, H_, J_ = 0, 1, 2, 3
+        if (_fx, _fy) == (0, 0):
+            sel = (G, 0, 0, G, 0, 0, 0)
+        elif _fy == 0:
+            sel = {1: (G, 0, 0, B_, 0, 0, 1), 2: (B_, 0, 0, B_, 0, 0, 0),
+                   3: (G, 1, 0, B_, 0, 0, 1)}[_fx]
+        elif _fx == 0:
+            sel = {1: (G, 0, 0, H_, 0, 0, 1), 2: (H_, 0, 0, H_, 0, 0, 0),
+                   3: (G, 0, 1, H_, 0, 0, 1)}[_fy]
+        elif (_fx, _fy) == (2, 2):
+            sel = (J_, 0, 0, J_, 0, 0, 0)
+        elif _fy == 2:
+            sel = (H_, 0, 0, J_, 0, 0, 1) if _fx == 1 else (H_, 1, 0, J_, 0, 0, 1)
+        elif _fx == 2:
+            sel = (B_, 0, 0, J_, 0, 0, 1) if _fy == 1 else (B_, 0, 1, J_, 0, 0, 1)
+        else:
+            bdy = 0 if _fy == 1 else 1
+            hdx = 0 if _fx == 1 else 1
+            sel = (B_, 0, bdy, H_, hdx, 0, 1)
+        _MC_SEL[_fy, _fx] = sel
+
+
+def _mc_luma_batched(refp, mv, ref_idx, mbh, mbw):
+    """refp: [n_refs, Hp, Wp]; mv: [mbh*4, mbw*4, 2]; ref_idx same grid.
+    Returns predicted luma [mbh*4, mbw*4, 4, 4] int32."""
+    n_refs, Hp, Wp = refp.shape
+    G, b, hh, jj = _halfpel_planes(refp)
+    planes = jnp.stack([G, b, hh, jj], axis=1)      # [n_refs, 4, Hp, Wp]
+    gh, gw = mv.shape[0], mv.shape[1]
+    bys, bxs = np.mgrid[0:gh, 0:gw]
+    x0 = bxs * 4 + MC_PAD
+    y0 = bys * 4 + MC_PAD
+    mvx, mvy = mv[..., 0], mv[..., 1]
+    xi = jnp.clip(x0 + (mvx >> 2), 3, Wp - 8)
+    yi = jnp.clip(y0 + (mvy >> 2), 3, Hp - 8)
+    sel = jnp.asarray(_MC_SEL)[mvy & 3, mvx & 3]    # [gh, gw, 7]
+    r = jnp.clip(ref_idx, 0, n_refs - 1)
+
+    def gather_plane(pids, dxs, dys):
+        rows = (yi + dys)[..., None, None] + np.arange(4)[None, None, :, None]
+        cols = (xi + dxs)[..., None, None] + np.arange(4)[None, None, None, :]
+        return planes[r[..., None, None], pids[..., None, None], rows, cols]
+
+    p1 = gather_plane(sel[..., 0], sel[..., 1], sel[..., 2])
+    p2 = gather_plane(sel[..., 3], sel[..., 4], sel[..., 5])
+    avg = (p1 + p2 + 1) >> 1
+    return jnp.where((sel[..., 6] == 1)[..., None, None], avg, p1)
+
+
+def _mc_chroma_batched(refc, mv, ref_idx, mbh, mbw):
+    """refc: [n_refs, Hc, Wc] padded chroma. Chroma moves with the luma
+    partitioning, so prediction is evaluated per 2x2 chroma block co-located
+    with each luma 4x4 block: returns [gh, gw, 2, 2] int32 (gh=mbh*4)."""
+    n_refs, Hc, Wc = refc.shape
+    gh, gw = mv.shape[0], mv.shape[1]
+    bys, bxs = np.mgrid[0:gh, 0:gw]
+    x0 = bxs * 2 + MC_PAD // 2
+    y0 = bys * 2 + MC_PAD // 2
+    mvx, mvy = mv[..., 0], mv[..., 1]
+    xi = jnp.clip(x0 + (mvx >> 3), 0, Wc - 4)
+    yi = jnp.clip(y0 + (mvy >> 3), 0, Hc - 4)
+    dx = (mvx & 7)[..., None, None]
+    dy = (mvy & 7)[..., None, None]
+    r = jnp.clip(ref_idx, 0, n_refs - 1)
+
+    def gat(oy, ox):
+        rows = (yi + oy)[..., None, None] + np.arange(2)[None, None, :, None]
+        cols = (xi + ox)[..., None, None] + np.arange(2)[None, None, None, :]
+        return refc[r[..., None, None], rows, cols]
+
+    A = gat(0, 0)
+    Bq = gat(0, 1)
+    C = gat(1, 0)
+    D = gat(1, 1)
+    return ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * Bq
+            + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
+
+
+def _bs_planes(mb_class, nz_luma, mv, ref_idx):
+    """Device twin of refdec.compute_bs: per-4x4-edge boundary strengths.
+    Returns (bs_v, bs_h) [gh, gw] (edge left/top of each block)."""
+    gh, gw = nz_luma.shape
+    mbcls_blk = jnp.repeat(jnp.repeat(mb_class, 4, 0), 4, 1)
+    blk_intra = mbcls_blk != 3
+    nz = nz_luma > 0
+
+    def edge(pi, qi, mb_edge):
+        intra_e = blk_intra[pi] | blk_intra[qi]
+        bsx = jnp.where(intra_e, jnp.where(mb_edge, 4, 3), 0)
+        coeff = nz[pi] | nz[qi]
+        mvd = (jnp.abs(mv[pi][..., 0] - mv[qi][..., 0]) >= 4) | \
+              (jnp.abs(mv[pi][..., 1] - mv[qi][..., 1]) >= 4)
+        refd = ref_idx[pi] != ref_idx[qi]
+        inter_bs = jnp.where(coeff, 2, jnp.where(mvd | refd, 1, 0))
+        return jnp.where(intra_e, bsx, inter_bs)
+
+    col_edge = jnp.asarray((np.arange(1, gw) % 4) == 0)
+    row_edge = jnp.asarray((np.arange(1, gh) % 4) == 0)
+    bs_v = jnp.zeros((gh, gw), jnp.int32)
+    bs_h = jnp.zeros((gh, gw), jnp.int32)
+    bs_v = bs_v.at[:, 1:].set(edge((slice(None), slice(0, gw - 1)),
+                                   (slice(None), slice(1, gw)),
+                                   col_edge[None, :]))
+    bs_h = bs_h.at[1:, :].set(edge((slice(0, gh - 1), slice(None)),
+                                   (slice(1, gh), slice(None)),
+                                   row_edge[:, None]))
+    return bs_v, bs_h
 
 
 # ---------------------------------------------------------------------------
@@ -236,9 +405,11 @@ def _edge_h_chroma(Pc, Qc, bs, ia, ib, tabs):
 
 def _deblock_tile_scan(Yt, Ut, Vt, qp_t, mxs_t, mys_t, valid_t, bmax,
                        alpha_off, beta_off, chroma_qp_off,
-                       second_chroma_qp_off):
-    """Yt/Ut/Vt: skewed recon tiles [n_steps, bmax, ...]; returns same-shape
-    deblocked tiles (diagonal d emitted at scan step d+2)."""
+                       second_chroma_qp_off, bs_v_t, bs_h_t):
+    """Yt/Ut/Vt: skewed recon tiles [n_steps, bmax, ...]; bs_v_t/bs_h_t:
+    skewed per-edge boundary strengths [n_steps, bmax, 4(edge), 4(subedge)]
+    (0 where an edge must not filter, incl. frame/picture boundaries).
+    Returns same-shape deblocked tiles (diagonal d emitted at step d+2)."""
     n_steps = Yt.shape[0]
     alpha_t = jnp.asarray(DB.ALPHA_TABLE)
     beta_t = jnp.asarray(DB.BETA_TABLE)
@@ -254,38 +425,40 @@ def _deblock_tile_scan(Yt, Ut, Vt, qp_t, mxs_t, mys_t, valid_t, bmax,
     mxs_x = pad3(mxs_t, jnp.zeros_like(mxs_t[0]))
     mys_x = pad3(mys_t, jnp.zeros_like(mys_t[0]))
     val_x = pad3(valid_t, jnp.zeros_like(valid_t[0]))
+    bsv_x = pad3(bs_v_t, jnp.zeros_like(bs_v_t[0]))
+    bsh_x = pad3(bs_h_t, jnp.zeros_like(bs_h_t[0]))
 
     def qav(qa, qb):
         return (qa + qb + 1) >> 1
 
     def body(carry, xs):
         (Ay, Au, Av, By, Bu, Bv, qA, qB, vA, vB) = carry
-        (R, Ru, Rv, qp, mxs, mys, valid) = xs
+        (R, Ru, Rv, qp, mxs, mys, valid, bsv, bsh) = xs
         act = valid == 1
         roll1 = lambda x: jnp.roll(x, 1, axis=0)
 
         q_left = qA
         q_top = roll1(qB)
-        top_ok = act & (mys > 0) & (roll1(vB) == 1)
-        left_ok = act & (mxs > 0) & (vA == 1)
+        actm = act.astype(jnp.int32)[:, None]
+
+        def lines16(bs_sub):
+            # [B,4] per-subedge -> [B,16] per line, masked by act
+            return jnp.repeat(bs_sub, 4, axis=1) * actm
 
         # ---------- luma vertical edges ----------
-        # edge 0 (MB boundary, bs=4) between A (left) and R
         qa0 = qav(qp, q_left)
         ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
         ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
-        bs0 = jnp.where(left_ok, 4, 0)[:, None]
-        Pn, Qn = _edge_v_luma(Ay[:, :, 12:16], R[:, :, 0:4], bs0, ia0, ib0, tabs)
+        Pn, Qn = _edge_v_luma(Ay[:, :, 12:16], R[:, :, 0:4],
+                              lines16(bsv[:, 0]), ia0, ib0, tabs)
         Ay = Ay.at[:, :, 12:16].set(Pn)
         R = R.at[:, :, 0:4].set(Qn)
-        # internal edges bs=3
         ia = jnp.clip(qp + alpha_off, 0, 51)[:, None]
         ib = jnp.clip(qp + beta_off, 0, 51)[:, None]
-        bs3 = jnp.where(act, 3, 0)[:, None]
         for e in (1, 2, 3):
             x = 4 * e
             Pn, Qn = _edge_v_luma(R[:, :, x - 4:x], R[:, :, x:x + 4],
-                                  bs3, ia, ib, tabs)
+                                  lines16(bsv[:, e]), ia, ib, tabs)
             R = R.at[:, :, x - 4:x].set(Pn)
             R = R.at[:, :, x:x + 4].set(Qn)
 
@@ -294,38 +467,40 @@ def _deblock_tile_scan(Yt, Ut, Vt, qp_t, mxs_t, mys_t, valid_t, bmax,
         qa0 = qav(qp, q_top)
         ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
         ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
-        bs0 = jnp.where(top_ok, 4, 0)[:, None]
-        Pn, Qn = _edge_h_luma(Tt[:, 12:16, :], R[:, 0:4, :], bs0, ia0, ib0, tabs)
+        Pn, Qn = _edge_h_luma(Tt[:, 12:16, :], R[:, 0:4, :],
+                              lines16(bsh[:, 0]), ia0, ib0, tabs)
         Tt = Tt.at[:, 12:16, :].set(Pn)
         R = R.at[:, 0:4, :].set(Qn)
         By = jnp.roll(Tt, -1, axis=0)
         for e in (1, 2, 3):
             y = 4 * e
             Pn, Qn = _edge_h_luma(R[:, y - 4:y, :], R[:, y:y + 4, :],
-                                  bs3, ia, ib, tabs)
+                                  lines16(bsh[:, e]), ia, ib, tabs)
             R = R.at[:, y - 4:y, :].set(Pn)
             R = R.at[:, y:y + 4, :].set(Qn)
 
         # ---------- chroma ----------
+        def lines8(bs_sub):
+            return jnp.repeat(bs_sub, 2, axis=1) * actm
+
         new_c = []
         for (Ac, Bc, Rc, off) in ((Au, Bu, Ru, chroma_qp_off),
                                   (Av, Bv, Rv, second_chroma_qp_off)):
             qc = cqt[jnp.clip(qp + off, 0, 51)]
             qc_l = cqt[jnp.clip(q_left + off, 0, 51)]
             qc_t = cqt[jnp.clip(q_top + off, 0, 51)]
-            # vertical edge 0 (bs=4) and internal (cx=4, bs=3)
+            # vertical: chroma edge at cx=0 / cx=4 uses luma edge 0 / 2 bS
             qa0 = qav(qc, qc_l)
             ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
             ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
             Pn, Qn = _edge_v_chroma(Ac[:, :, 6:8], Rc[:, :, 0:2],
-                                    jnp.where(left_ok, 4, 0)[:, None],
-                                    ia0, ib0, tabs)
+                                    lines8(bsv[:, 0]), ia0, ib0, tabs)
             Ac = Ac.at[:, :, 6:8].set(Pn)
             Rc = Rc.at[:, :, 0:2].set(Qn)
             iac = jnp.clip(qc + alpha_off, 0, 51)[:, None]
             ibc = jnp.clip(qc + beta_off, 0, 51)[:, None]
             Pn, Qn = _edge_v_chroma(Rc[:, :, 2:4], Rc[:, :, 4:6],
-                                    bs3, iac, ibc, tabs)
+                                    lines8(bsv[:, 2]), iac, ibc, tabs)
             Rc = Rc.at[:, :, 2:4].set(Pn)
             Rc = Rc.at[:, :, 4:6].set(Qn)
             # horizontal edges
@@ -334,13 +509,12 @@ def _deblock_tile_scan(Yt, Ut, Vt, qp_t, mxs_t, mys_t, valid_t, bmax,
             ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
             ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
             Pn, Qn = _edge_h_chroma(Tc[:, 6:8, :], Rc[:, 0:2, :],
-                                    jnp.where(top_ok, 4, 0)[:, None],
-                                    ia0, ib0, tabs)
+                                    lines8(bsh[:, 0]), ia0, ib0, tabs)
             Tc = Tc.at[:, 6:8, :].set(Pn)
             Rc = Rc.at[:, 0:2, :].set(Qn)
             Bc = jnp.roll(Tc, -1, axis=0)
             Pn, Qn = _edge_h_chroma(Rc[:, 2:4, :], Rc[:, 4:6, :],
-                                    bs3, iac, ibc, tabs)
+                                    lines8(bsh[:, 2]), iac, ibc, tabs)
             Rc = Rc.at[:, 2:4, :].set(Pn)
             Rc = Rc.at[:, 4:6, :].set(Qn)
             new_c.append((Rc, Ac, Bc))
@@ -360,7 +534,8 @@ def _deblock_tile_scan(Yt, Ut, Vt, qp_t, mxs_t, mys_t, valid_t, bmax,
     zq = jnp.zeros((bmax,), jnp.int32)
     carry0 = (z16, z8, z8, z16, z8, z8, zq, zq, zq, zq)
     _, ys = jax.lax.scan(body, carry0,
-                         (Yt_x, Ut_x, Vt_x, qp_x, mxs_x, mys_x, val_x))
+                         (Yt_x, Ut_x, Vt_x, qp_x, mxs_x, mys_x, val_x,
+                          bsv_x, bsh_x))
     Yd, Ud, Vd = ys
     return Yd[2:], Ud[2:], Vd[2:]
 
@@ -375,7 +550,38 @@ def decode_frame(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
                  avail_left, avail_top, avail_topright,
                  alpha_off, beta_off, chroma_qp_off, second_chroma_qp_off,
                  deblock: bool = True):
-    """Tile-space device decode (drop-in for recon.decode_frame)."""
+    """Tile-space device decode of an intra frame."""
+    return _decode_core(mbh, mbw, mb_class, qp, i4_modes, i16_mode,
+                        chroma_mode, luma_coeffs, luma_dc, chroma_coeffs,
+                        chroma_dc, avail_left, avail_top, avail_topright,
+                        alpha_off, beta_off, chroma_qp_off,
+                        second_chroma_qp_off, deblock,
+                        None, None, None, None, None)
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "deblock"))
+def decode_frame_inter(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
+                       chroma_mode, luma_coeffs, luma_dc, chroma_coeffs,
+                       chroma_dc, avail_left, avail_top, avail_topright,
+                       alpha_off, beta_off, chroma_qp_off,
+                       second_chroma_qp_off, mv, ref_idx, ref_y, ref_u, ref_v,
+                       deblock: bool = True):
+    """Device decode of a P frame: batched MC (wavefront-free) + intra
+    wavefront for intra MBs + bS-driven deblock. ref_*: [n_refs, ...] padded
+    reference planes (prep_ref_planes), list0 order."""
+    return _decode_core(mbh, mbw, mb_class, qp, i4_modes, i16_mode,
+                        chroma_mode, luma_coeffs, luma_dc, chroma_coeffs,
+                        chroma_dc, avail_left, avail_top, avail_topright,
+                        alpha_off, beta_off, chroma_qp_off,
+                        second_chroma_qp_off, deblock,
+                        mv, ref_idx, ref_y, ref_u, ref_v)
+
+
+def _decode_core(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
+                 chroma_mode, luma_coeffs, luma_dc, chroma_coeffs, chroma_dc,
+                 avail_left, avail_top, avail_topright,
+                 alpha_off, beta_off, chroma_qp_off, second_chroma_qp_off,
+                 deblock, mv, ref_idx, ref_y, ref_u, ref_v):
     (mb_class, qp, i4_modes, i16_mode, chroma_mode, luma_coeffs, luma_dc,
      chroma_coeffs, chroma_dc, avail_left, avail_top, avail_topright) = [
         a.astype(jnp.int32) if a.dtype != jnp.int32 else a
@@ -388,9 +594,38 @@ def decode_frame(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
     valid_j = jnp.asarray(valid)
     bmax = mys.shape[1]
 
+    has_inter = mv is not None
     resid_y, resid_u, resid_v = _residuals(
         luma_coeffs, luma_dc, chroma_coeffs, chroma_dc, qp, mb_class,
         chroma_qp_off, second_chroma_qp_off)
+
+    inter_args = (None, None, None)
+    if has_inter:
+        mv = mv.astype(jnp.int32)
+        ref_idx = ref_idx.astype(jnp.int32)
+        mc_y = _mc_luma_batched(ref_y.astype(jnp.int32), mv, ref_idx, mbh, mbw)
+        mc_u = _mc_chroma_batched(ref_u.astype(jnp.int32), mv, ref_idx, mbh, mbw)
+        mc_v = _mc_chroma_batched(ref_v.astype(jnp.int32), mv, ref_idx, mbh, mbw)
+        rec_y = jnp.clip(mc_y + resid_y, 0, 255)
+        # chroma residual blocks are on the [mbh*2, mbw*2] 4x4 grid; MC is on
+        # the [mbh*4, mbw*4] 2x2 grid -> assemble both as planes and add
+        def c_plane_from22(mc):
+            gh, gw = mc.shape[0], mc.shape[1]
+            return mc.transpose(0, 2, 1, 3).reshape(gh * 2, gw * 2)
+
+        def c_plane_from44(rs):
+            gh, gw = rs.shape[0], rs.shape[1]
+            return rs.transpose(0, 2, 1, 3).reshape(gh * 4, gw * 4)
+
+        rec_u = jnp.clip(c_plane_from22(mc_u) + c_plane_from44(resid_u), 0, 255)
+        rec_v = jnp.clip(c_plane_from22(mc_v) + c_plane_from44(resid_v), 0, 255)
+        inter_y_t = _skew(_to_tiles(
+            rec_y, mbh, mbw, 4), mys_j, mxs_j)
+        cu = rec_u.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3)
+        cv = rec_v.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3)
+        inter_u_t = _skew(cu, mys_j, mxs_j)
+        inter_v_t = _skew(cv, mys_j, mxs_j)
+        inter_args = (inter_y_t, inter_u_t, inter_v_t)
 
     # pre-skew everything (single gathers)
     resid_y_t = _skew(_to_tiles(resid_y, mbh, mbw, 4), mys_j, mxs_j)
@@ -408,11 +643,25 @@ def decode_frame(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
 
     Yt, Ut, Vt = _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t, modes_t,
                                   cls_t, i16_t, cmode_t, a_l_t, a_t_t, a_tr_t,
-                                  valid_j, bmax)
+                                  valid_j, bmax, *inter_args)
     if deblock:
+        if has_inter:
+            nz_blk = jnp.any(luma_coeffs != 0, axis=(-1, -2)).astype(jnp.int32)
+            bs_v, bs_h = _bs_planes(mb_class, nz_blk, mv, ref_idx)
+        else:
+            zero_mv = jnp.zeros((mbh * 4, mbw * 4, 2), jnp.int32)
+            zero_ref = jnp.zeros((mbh * 4, mbw * 4), jnp.int32)
+            nz_blk = jnp.zeros((mbh * 4, mbw * 4), jnp.int32)
+            bs_v, bs_h = _bs_planes(mb_class, nz_blk, zero_mv, zero_ref)
+        # reshape to per-MB [4(edge/col), 4(sub)] and skew
+        bsv_mb = bs_v.reshape(mbh, 4, mbw, 4).transpose(0, 2, 3, 1)
+        bsh_mb = bs_h.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3)
+        bsv_t = _skew(bsv_mb, mys_j, mxs_j)
+        bsh_t = _skew(bsh_mb, mys_j, mxs_j)
         Yt, Ut, Vt = _deblock_tile_scan(Yt, Ut, Vt, qp_t, mxs_j, mys_j,
                                         valid_j, bmax, alpha_off, beta_off,
-                                        chroma_qp_off, second_chroma_qp_off)
+                                        chroma_qp_off, second_chroma_qp_off,
+                                        bsv_t, bsh_t)
     Y = _unskew_to_frame(Yt, mys_j, mxs_j, valid_j, mbh, mbw, 16)
     U = _unskew_to_frame(Ut, mys_j, mxs_j, valid_j, mbh, mbw, 8)
     V = _unskew_to_frame(Vt, mys_j, mxs_j, valid_j, mbh, mbw, 8)
@@ -431,6 +680,37 @@ def decode_frames_batch(mbh, mbw, mb_class, qp, i4_modes, i16_mode,
                         avail_left, avail_top, avail_topright,
                         alpha_off, beta_off, chroma_qp_off,
                         second_chroma_qp_off)
+
+
+def pad_ref_device(Y, U, V):
+    """Pad a decoded frame (uint8 device arrays) for use as an MC reference;
+    stays on device."""
+    return (jnp.pad(Y.astype(jnp.int32), MC_PAD, mode="edge"),
+            jnp.pad(U.astype(jnp.int32), MC_PAD // 2, mode="edge"),
+            jnp.pad(V.astype(jnp.int32), MC_PAD // 2, mode="edge"))
+
+
+def decode_frame_symbols_inter(fs, refs, deblock=None):
+    """FrameSymbols of a P frame + device ref list [(Yp,Up,Vp), ...]
+    (pad_ref_device, list0 order) -> (Y, U, V) uint8 numpy."""
+    if deblock is None:
+        deblock = fs.deblock_enabled
+    ref_y = jnp.stack([r[0] for r in refs])
+    ref_u = jnp.stack([r[1] for r in refs])
+    ref_v = jnp.stack([r[2] for r in refs])
+    out = decode_frame_inter(
+        fs.mb_height, fs.mb_width,
+        jnp.asarray(fs.mb_class), jnp.asarray(fs.qp), jnp.asarray(fs.i4_modes),
+        jnp.asarray(fs.i16_mode), jnp.asarray(fs.chroma_mode),
+        jnp.asarray(fs.luma_coeffs), jnp.asarray(fs.luma_dc),
+        jnp.asarray(fs.chroma_coeffs), jnp.asarray(fs.chroma_dc),
+        jnp.asarray(fs.avail_left), jnp.asarray(fs.avail_top),
+        jnp.asarray(fs.avail_topright),
+        jnp.int32(fs.alpha_off), jnp.int32(fs.beta_off),
+        jnp.int32(fs.chroma_qp_off), jnp.int32(fs.second_chroma_qp_off),
+        jnp.asarray(fs.mv), jnp.asarray(fs.ref),
+        ref_y, ref_u, ref_v, deblock=deblock)
+    return out
 
 
 def decode_frame_symbols(fs, deblock=None):
