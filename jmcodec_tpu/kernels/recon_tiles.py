@@ -79,18 +79,13 @@ def _unskew_to_frame(tiles, mys, mxs, valid, mbh, mbw, ts):
 from .recon import _pred_16_batch, _pred_chroma_batch, _pred_i4_batch, _TR_SRC
 
 
-def _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t,
-                     i16_t, cmode_t, a_l_t, a_t_t, a_tr_t, valid_t, bmax,
-                     inter_y_t=None, inter_u_t=None, inter_v_t=None):
-    """Scan over diagonals; returns (Y_tiles, U_tiles, V_tiles) skewed.
-    inter_*_t: pre-computed MC+residual recon tiles for inter MBs (class 3),
-    passed through by class select (inter recon has no wavefront deps)."""
-    has_inter = inter_y_t is not None
-
+def _intra_step(carry, xs, has_inter):
+    """One wavefront step of intra reconstruction (module-level so the fused
+    intra+deblock scan can reuse it). Returns (carry, (Y, U, V) tiles)."""
     def roll1(x):
         return jnp.roll(x, 1, axis=0)
 
-    def body(carry, xs):
+    if True:
         (P1y, P2y, P3y, P1u, P2u, P3u, P1v, P2v, P3v) = carry
         if has_inter:
             (resid, resid_u, resid_v, modes, cls, i16m, cmode,
@@ -194,14 +189,24 @@ def _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t,
                      outs_c[1], P1v, P2v)
         return new_carry, (Rfin, outs_c[0], outs_c[1])
 
+
+def _intra_carry0(bmax):
     z16 = jnp.zeros((bmax, 16, 16), jnp.int32)
     z8 = jnp.zeros((bmax, 8, 8), jnp.int32)
-    carry0 = (z16, z16, z16, z8, z8, z8, z8, z8, z8)
+    return (z16, z16, z16, z8, z8, z8, z8, z8, z8)
+
+
+def _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t,
+                     i16_t, cmode_t, a_l_t, a_t_t, a_tr_t, valid_t, bmax,
+                     inter_y_t=None, inter_u_t=None, inter_v_t=None):
+    """Scan over diagonals; returns (Y_tiles, U_tiles, V_tiles) skewed."""
+    has_inter = inter_y_t is not None
     xs = (resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t,
           i16_t, cmode_t, a_l_t, a_t_t, a_tr_t, valid_t)
     if has_inter:
         xs = xs + (inter_y_t, inter_u_t, inter_v_t)
-    _, ys = jax.lax.scan(body, carry0, xs)
+    _, ys = jax.lax.scan(functools.partial(_intra_step, has_inter=has_inter),
+                         _intra_carry0(bmax), xs)
     return ys
 
 
@@ -403,6 +408,151 @@ def _edge_h_chroma(Pc, Qc, bs, ia, ib, tabs):
             jnp.stack([q0n, Qc[:, 1, :]], axis=1))
 
 
+def _fused_scan(intra_xs, has_inter, qp_t, mxs_t, mys_t, valid_t, bmax,
+                alpha_off, beta_off, chroma_qp_off, second_chroma_qp_off,
+                bsv_t, bsh_t):
+    """One combined scan: intra wavefront recon + deblocking with a
+    2-diagonal lag — halves the number of scan steps vs two passes.
+    Returns deblocked (Y, U, V) tiles [n_steps, bmax, ...]."""
+    alpha_t = jnp.asarray(DB.ALPHA_TABLE)
+    beta_t = jnp.asarray(DB.BETA_TABLE)
+    tc0_t = jnp.asarray(DB.TC0_TABLE).reshape(-1)
+    tabs = (alpha_t, beta_t, tc0_t)
+    cqt = jnp.asarray(T.CHROMA_QP)
+
+    pad2 = lambda x: jnp.concatenate(
+        [x, jnp.broadcast_to(jnp.zeros_like(x[0]), (2,) + x.shape[1:])])
+    intra_xs_p = tuple(pad2(x) for x in intra_xs)
+    db_xs_p = tuple(pad2(x) for x in
+                    (qp_t, mxs_t, mys_t, valid_t, bsv_t, bsh_t))
+    n_intra = len(intra_xs_p)
+
+    def body(carry, xs):
+        ci, cd = carry[:9], carry[9:]
+        ixs = xs[:n_intra]
+        (qp, mxs, mys, valid, bsv, bsh) = xs[n_intra:]
+        ci2, (Ry, Ru, Rv) = _intra_step(ci, ixs, has_inter)
+        cd2, ys = _deblock_step(cd, (Ry, Ru, Rv, qp, mxs, mys, valid,
+                                     bsv, bsh),
+                                tabs=tabs, cqt=cqt, alpha_off=alpha_off,
+                                beta_off=beta_off,
+                                chroma_qp_off=chroma_qp_off,
+                                second_chroma_qp_off=second_chroma_qp_off)
+        return ci2 + cd2, ys
+
+    z16 = jnp.zeros((bmax, 16, 16), jnp.int32)
+    z8 = jnp.zeros((bmax, 8, 8), jnp.int32)
+    zq = jnp.zeros((bmax,), jnp.int32)
+    carry0 = _intra_carry0(bmax) + (z16, z8, z8, z16, z8, z8, zq, zq, zq, zq)
+    _, ys = jax.lax.scan(body, carry0, intra_xs_p + db_xs_p)
+    Yd, Ud, Vd = ys
+    return Yd[2:], Ud[2:], Vd[2:]
+
+
+def _deblock_step(carry, xs, tabs, cqt, alpha_off, beta_off,
+                  chroma_qp_off, second_chroma_qp_off):
+    """One wavefront step of deblocking (module-level for the fused scan).
+    Emits the finalized diagonal t-2."""
+    (Ay, Au, Av, By, Bu, Bv, qA, qB, vA, vB) = carry
+    (R, Ru, Rv, qp, mxs, mys, valid, bsv, bsh) = xs
+
+    def qav(qa, qb):
+        return (qa + qb + 1) >> 1
+
+    act = valid == 1
+    roll1 = lambda x: jnp.roll(x, 1, axis=0)
+
+    q_left = qA
+    q_top = roll1(qB)
+    actm = act.astype(jnp.int32)[:, None]
+
+    def lines16(bs_sub):
+        # [B,4] per-subedge -> [B,16] per line, masked by act
+        return jnp.repeat(bs_sub, 4, axis=1) * actm
+
+    # ---------- luma vertical edges ----------
+    qa0 = qav(qp, q_left)
+    ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
+    ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
+    Pn, Qn = _edge_v_luma(Ay[:, :, 12:16], R[:, :, 0:4],
+                  lines16(bsv[:, 0]), ia0, ib0, tabs)
+    Ay = Ay.at[:, :, 12:16].set(Pn)
+    R = R.at[:, :, 0:4].set(Qn)
+    ia = jnp.clip(qp + alpha_off, 0, 51)[:, None]
+    ib = jnp.clip(qp + beta_off, 0, 51)[:, None]
+    for e in (1, 2, 3):
+        x = 4 * e
+        Pn, Qn = _edge_v_luma(R[:, :, x - 4:x], R[:, :, x:x + 4],
+                  lines16(bsv[:, e]), ia, ib, tabs)
+        R = R.at[:, :, x - 4:x].set(Pn)
+        R = R.at[:, :, x:x + 4].set(Qn)
+
+    # ---------- luma horizontal edges ----------
+    Tt = roll1(By)
+    qa0 = qav(qp, q_top)
+    ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
+    ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
+    Pn, Qn = _edge_h_luma(Tt[:, 12:16, :], R[:, 0:4, :],
+                  lines16(bsh[:, 0]), ia0, ib0, tabs)
+    Tt = Tt.at[:, 12:16, :].set(Pn)
+    R = R.at[:, 0:4, :].set(Qn)
+    By = jnp.roll(Tt, -1, axis=0)
+    for e in (1, 2, 3):
+        y = 4 * e
+        Pn, Qn = _edge_h_luma(R[:, y - 4:y, :], R[:, y:y + 4, :],
+                  lines16(bsh[:, e]), ia, ib, tabs)
+        R = R.at[:, y - 4:y, :].set(Pn)
+        R = R.at[:, y:y + 4, :].set(Qn)
+
+    # ---------- chroma ----------
+    def lines8(bs_sub):
+        return jnp.repeat(bs_sub, 2, axis=1) * actm
+
+    new_c = []
+    for (Ac, Bc, Rc, off) in ((Au, Bu, Ru, chroma_qp_off),
+                  (Av, Bv, Rv, second_chroma_qp_off)):
+        qc = cqt[jnp.clip(qp + off, 0, 51)]
+        qc_l = cqt[jnp.clip(q_left + off, 0, 51)]
+        qc_t = cqt[jnp.clip(q_top + off, 0, 51)]
+        # vertical: chroma edge at cx=0 / cx=4 uses luma edge 0 / 2 bS
+        qa0 = qav(qc, qc_l)
+        ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
+        ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
+        Pn, Qn = _edge_v_chroma(Ac[:, :, 6:8], Rc[:, :, 0:2],
+                    lines8(bsv[:, 0]), ia0, ib0, tabs)
+        Ac = Ac.at[:, :, 6:8].set(Pn)
+        Rc = Rc.at[:, :, 0:2].set(Qn)
+        iac = jnp.clip(qc + alpha_off, 0, 51)[:, None]
+        ibc = jnp.clip(qc + beta_off, 0, 51)[:, None]
+        Pn, Qn = _edge_v_chroma(Rc[:, :, 2:4], Rc[:, :, 4:6],
+                    lines8(bsv[:, 2]), iac, ibc, tabs)
+        Rc = Rc.at[:, :, 2:4].set(Pn)
+        Rc = Rc.at[:, :, 4:6].set(Qn)
+        # horizontal edges
+        Tc = roll1(Bc)
+        qa0 = qav(qc, qc_t)
+        ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
+        ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
+        Pn, Qn = _edge_h_chroma(Tc[:, 6:8, :], Rc[:, 0:2, :],
+                    lines8(bsh[:, 0]), ia0, ib0, tabs)
+        Tc = Tc.at[:, 6:8, :].set(Pn)
+        Rc = Rc.at[:, 0:2, :].set(Qn)
+        Bc = jnp.roll(Tc, -1, axis=0)
+        Pn, Qn = _edge_h_chroma(Rc[:, 2:4, :], Rc[:, 4:6, :],
+                    lines8(bsh[:, 2]), iac, ibc, tabs)
+        Rc = Rc.at[:, 2:4, :].set(Pn)
+        Rc = Rc.at[:, 4:6, :].set(Qn)
+        new_c.append((Rc, Ac, Bc))
+
+    (Ru2, Au2, Bu2), (Rv2, Av2, Bv2) = new_c
+    # emit the now-final diagonal t-2; shift the window:
+    #   A_next = current diagonal, B_next = old A (updated by our V edge 0)
+    ys = (By, Bu2, Bv2)
+    new_carry = (R, Ru2, Rv2, Ay, Au2, Av2,
+             qp, qA, act.astype(jnp.int32), vA)
+    return new_carry, ys
+
+
 def _deblock_tile_scan(Yt, Ut, Vt, qp_t, mxs_t, mys_t, valid_t, bmax,
                        alpha_off, beta_off, chroma_qp_off,
                        second_chroma_qp_off, bs_v_t, bs_h_t):
@@ -431,101 +581,11 @@ def _deblock_tile_scan(Yt, Ut, Vt, qp_t, mxs_t, mys_t, valid_t, bmax,
     def qav(qa, qb):
         return (qa + qb + 1) >> 1
 
-    def body(carry, xs):
-        (Ay, Au, Av, By, Bu, Bv, qA, qB, vA, vB) = carry
-        (R, Ru, Rv, qp, mxs, mys, valid, bsv, bsh) = xs
-        act = valid == 1
-        roll1 = lambda x: jnp.roll(x, 1, axis=0)
-
-        q_left = qA
-        q_top = roll1(qB)
-        actm = act.astype(jnp.int32)[:, None]
-
-        def lines16(bs_sub):
-            # [B,4] per-subedge -> [B,16] per line, masked by act
-            return jnp.repeat(bs_sub, 4, axis=1) * actm
-
-        # ---------- luma vertical edges ----------
-        qa0 = qav(qp, q_left)
-        ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
-        ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
-        Pn, Qn = _edge_v_luma(Ay[:, :, 12:16], R[:, :, 0:4],
-                              lines16(bsv[:, 0]), ia0, ib0, tabs)
-        Ay = Ay.at[:, :, 12:16].set(Pn)
-        R = R.at[:, :, 0:4].set(Qn)
-        ia = jnp.clip(qp + alpha_off, 0, 51)[:, None]
-        ib = jnp.clip(qp + beta_off, 0, 51)[:, None]
-        for e in (1, 2, 3):
-            x = 4 * e
-            Pn, Qn = _edge_v_luma(R[:, :, x - 4:x], R[:, :, x:x + 4],
-                                  lines16(bsv[:, e]), ia, ib, tabs)
-            R = R.at[:, :, x - 4:x].set(Pn)
-            R = R.at[:, :, x:x + 4].set(Qn)
-
-        # ---------- luma horizontal edges ----------
-        Tt = roll1(By)
-        qa0 = qav(qp, q_top)
-        ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
-        ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
-        Pn, Qn = _edge_h_luma(Tt[:, 12:16, :], R[:, 0:4, :],
-                              lines16(bsh[:, 0]), ia0, ib0, tabs)
-        Tt = Tt.at[:, 12:16, :].set(Pn)
-        R = R.at[:, 0:4, :].set(Qn)
-        By = jnp.roll(Tt, -1, axis=0)
-        for e in (1, 2, 3):
-            y = 4 * e
-            Pn, Qn = _edge_h_luma(R[:, y - 4:y, :], R[:, y:y + 4, :],
-                                  lines16(bsh[:, e]), ia, ib, tabs)
-            R = R.at[:, y - 4:y, :].set(Pn)
-            R = R.at[:, y:y + 4, :].set(Qn)
-
-        # ---------- chroma ----------
-        def lines8(bs_sub):
-            return jnp.repeat(bs_sub, 2, axis=1) * actm
-
-        new_c = []
-        for (Ac, Bc, Rc, off) in ((Au, Bu, Ru, chroma_qp_off),
-                                  (Av, Bv, Rv, second_chroma_qp_off)):
-            qc = cqt[jnp.clip(qp + off, 0, 51)]
-            qc_l = cqt[jnp.clip(q_left + off, 0, 51)]
-            qc_t = cqt[jnp.clip(q_top + off, 0, 51)]
-            # vertical: chroma edge at cx=0 / cx=4 uses luma edge 0 / 2 bS
-            qa0 = qav(qc, qc_l)
-            ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
-            ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
-            Pn, Qn = _edge_v_chroma(Ac[:, :, 6:8], Rc[:, :, 0:2],
-                                    lines8(bsv[:, 0]), ia0, ib0, tabs)
-            Ac = Ac.at[:, :, 6:8].set(Pn)
-            Rc = Rc.at[:, :, 0:2].set(Qn)
-            iac = jnp.clip(qc + alpha_off, 0, 51)[:, None]
-            ibc = jnp.clip(qc + beta_off, 0, 51)[:, None]
-            Pn, Qn = _edge_v_chroma(Rc[:, :, 2:4], Rc[:, :, 4:6],
-                                    lines8(bsv[:, 2]), iac, ibc, tabs)
-            Rc = Rc.at[:, :, 2:4].set(Pn)
-            Rc = Rc.at[:, :, 4:6].set(Qn)
-            # horizontal edges
-            Tc = roll1(Bc)
-            qa0 = qav(qc, qc_t)
-            ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
-            ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
-            Pn, Qn = _edge_h_chroma(Tc[:, 6:8, :], Rc[:, 0:2, :],
-                                    lines8(bsh[:, 0]), ia0, ib0, tabs)
-            Tc = Tc.at[:, 6:8, :].set(Pn)
-            Rc = Rc.at[:, 0:2, :].set(Qn)
-            Bc = jnp.roll(Tc, -1, axis=0)
-            Pn, Qn = _edge_h_chroma(Rc[:, 2:4, :], Rc[:, 4:6, :],
-                                    lines8(bsh[:, 2]), iac, ibc, tabs)
-            Rc = Rc.at[:, 2:4, :].set(Pn)
-            Rc = Rc.at[:, 4:6, :].set(Qn)
-            new_c.append((Rc, Ac, Bc))
-
-        (Ru2, Au2, Bu2), (Rv2, Av2, Bv2) = new_c
-        # emit the now-final diagonal t-2; shift the window:
-        #   A_next = current diagonal, B_next = old A (updated by our V edge 0)
-        ys = (By, Bu2, Bv2)
-        new_carry = (R, Ru2, Rv2, Ay, Au2, Av2,
-                     qp, qA, act.astype(jnp.int32), vA)
-        return new_carry, ys
+    body = functools.partial(_deblock_step, tabs=tabs, cqt=cqt,
+                             alpha_off=alpha_off, beta_off=beta_off,
+                             chroma_qp_off=chroma_qp_off,
+                             second_chroma_qp_off=second_chroma_qp_off)
+    del qav
 
     # carry layout: (Ay, Au, Av, By, Bu, Bv, qA, qB, vA, vB)
     # with A = diagonal t-1, B = diagonal t-2
@@ -641,9 +701,9 @@ def _decode_core(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
     a_t_t = _skew(avail_top, mys_j, mxs_j)
     a_tr_t = _skew(avail_topright, mys_j, mxs_j)
 
-    Yt, Ut, Vt = _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t, modes_t,
-                                  cls_t, i16_t, cmode_t, a_l_t, a_t_t, a_tr_t,
-                                  valid_j, bmax, *inter_args)
+    intra_xs = (resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t, i16_t,
+                cmode_t, a_l_t, a_t_t, a_tr_t, valid_j) + (
+                    inter_args if has_inter else ())
     if deblock:
         if has_inter:
             nz_blk = jnp.any(luma_coeffs != 0, axis=(-1, -2)).astype(jnp.int32)
@@ -658,10 +718,14 @@ def _decode_core(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
         bsh_mb = bs_h.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3)
         bsv_t = _skew(bsv_mb, mys_j, mxs_j)
         bsh_t = _skew(bsh_mb, mys_j, mxs_j)
-        Yt, Ut, Vt = _deblock_tile_scan(Yt, Ut, Vt, qp_t, mxs_j, mys_j,
-                                        valid_j, bmax, alpha_off, beta_off,
-                                        chroma_qp_off, second_chroma_qp_off,
-                                        bsv_t, bsh_t)
+        Yt, Ut, Vt = _fused_scan(intra_xs, has_inter, qp_t, mxs_j, mys_j,
+                                 valid_j, bmax, alpha_off, beta_off,
+                                 chroma_qp_off, second_chroma_qp_off,
+                                 bsv_t, bsh_t)
+    else:
+        Yt, Ut, Vt = _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t, modes_t,
+                                      cls_t, i16_t, cmode_t, a_l_t, a_t_t,
+                                      a_tr_t, valid_j, bmax, *inter_args)
     Y = _unskew_to_frame(Yt, mys_j, mxs_j, valid_j, mbh, mbw, 16)
     U = _unskew_to_frame(Ut, mys_j, mxs_j, valid_j, mbh, mbw, 8)
     V = _unskew_to_frame(Vt, mys_j, mxs_j, valid_j, mbh, mbw, 8)
