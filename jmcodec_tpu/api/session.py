@@ -34,6 +34,8 @@ from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
+from ..utils.metrics import counters, timers
+
 # Backpressure threshold mirrors the reference's 5 MB free-space rule
 # (intel_dec/intel_dec.cpp:28,351-360) on a 10 MB ring (intel_dec.cpp:27).
 INPUT_BUF_SIZE = 10 * 1024 * 1024
@@ -134,6 +136,7 @@ class DecoderSession:
         take = min(len(data), self.free_buf_len())
         self._buf += data[:take]
         self._meter.bytes_in += take
+        counters.add("bytes_in", take)
         self._try_decode(flush=False)
         return take
 
@@ -237,7 +240,9 @@ class DecoderSession:
                 self._stream_info = (sps.width, sps.height)
                 if self._use_device and not fs.has_pcm:
                     from ..kernels.recon_tiles import decode_frame_symbols
-                    Y, U, V = decode_frame_symbols(fs)
+                    with timers.stage("device_recon"):
+                        Y, U, V = decode_frame_symbols(fs)
+                    counters.add("frames_device")
                 else:
                     self._decode_chunk_host(chunk)
                     return
