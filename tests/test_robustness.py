@@ -1,0 +1,85 @@
+"""Fault injection (SURVEY §5.3): corrupt NALUs and truncated streams must
+raise clean errors (no hangs/crashes), and the streaming session must resync
+on the next keyframe."""
+
+import numpy as np
+import pytest
+
+from jmcodec_tpu.api.session import DecoderSession
+from jmcodec_tpu.codec.h264.refdec import H264ReferenceDecoder
+from jmcodec_tpu.codec.h264.refenc import encode_stream
+from jmcodec_tpu.pipeline.gop import split_gops
+
+from util_oracle import make_frame
+
+
+def _stream(n=3, W=48, H=48):
+    frames = [make_frame(W, H, seed=i) for i in range(n)]
+    s, recons = encode_stream(frames, W, H, qp=30)
+    return s, recons
+
+
+def test_truncated_stream_raises_cleanly():
+    s, _ = _stream(1)
+    for cut in (len(s) // 2, len(s) - 3, 30):
+        dec = H264ReferenceDecoder()
+        try:
+            dec.decode_annexb(s[:cut])
+        except (ValueError, EOFError, NotImplementedError, KeyError):
+            pass  # clean parse error is acceptable
+
+
+def test_bitflip_corruption_contained():
+    rng = np.random.default_rng(0)
+    s, _ = _stream(2)
+    for _ in range(20):
+        b = bytearray(s)
+        pos = int(rng.integers(40, len(b)))  # avoid headers
+        b[pos] ^= 1 << int(rng.integers(0, 8))
+        dec = H264ReferenceDecoder()
+        try:
+            dec.decode_annexb(bytes(b))
+        except (ValueError, EOFError, NotImplementedError, KeyError,
+                IndexError):
+            pass  # must not hang or segfault; exceptions are fine
+
+
+def test_session_keyframe_resync():
+    """Drop a whole picture's bytes mid-stream: the session must still decode
+    the pictures around it (per-picture isolation = keyframe resync for
+    IDR-only streams)."""
+    s, recons = _stream(3)
+    gops = split_gops(s)
+    assert len(gops) == 3
+    # remove the middle picture entirely
+    broken = s[:gops[1][0]] + s[gops[1][1]:]
+    dec = DecoderSession()
+    dec.input_data(broken)
+    dec.set_eof()
+    got = []
+    while True:
+        fr = dec.get_frame()
+        if fr is None:
+            break
+        got.append(fr)
+    assert len(got) == 2
+    np.testing.assert_array_equal(got[0][0], recons[0][0])
+    np.testing.assert_array_equal(got[1][0], recons[2][0])
+
+
+def test_session_garbage_prefix_skipped():
+    s, recons = _stream(1)
+    dec = DecoderSession()
+    dec.input_data(b"\x00\x01\x02garbage-without-startcode" + s)
+    dec.set_eof()
+    fr = dec.get_frame()
+    assert fr is not None
+    np.testing.assert_array_equal(fr[0], recons[0][0])
+
+
+def test_decoder_rejects_oversize_input():
+    from jmcodec_tpu.api.session import INPUT_BUF_SIZE
+    dec = DecoderSession()
+    take = dec.input_data(b"\x00" * (INPUT_BUF_SIZE + 100))
+    assert take == INPUT_BUF_SIZE
+    assert not dec.need_more_data()
