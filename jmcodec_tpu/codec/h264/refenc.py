@@ -52,6 +52,7 @@ class EncoderConfig:
     enable_i16: bool = True
     gop_len: int = 1          # 1 = all-intra; >1 = IDR + P...P closed GOPs
     search_range: int = 16    # integer-pel ME range
+    inter_partitions: bool = True  # try 16x8/8x16 splits in P MBs
 
 
 class H264ReferenceEncoder:
@@ -183,16 +184,17 @@ class H264ReferenceEncoder:
 
     # ------------------------------------------------------------------
 
-    def _me_16x16(self, src, refY, x0, y0, mvp, lam):
-        """Diamond integer-pel + quarter-pel refinement. Returns (mv, cost)."""
+    def _me_block(self, src, refY, x0, y0, w, h, mvp, lam):
+        """Diamond integer-pel + quarter-pel refinement for a w x h block.
+        Returns (mv, cost)."""
         from ...utils.bits import se_len
         rng = self.cfg.search_range
         pad = MC.REF_PAD
 
         def sad_full(dx, dy):
-            w = refY[y0 + dy + pad:y0 + dy + 16 + pad,
-                     x0 + dx + pad:x0 + dx + 16 + pad]
-            return int(np.abs(src - w).sum())
+            win = refY[y0 + dy + pad:y0 + dy + h + pad,
+                       x0 + dx + pad:x0 + dx + w + pad]
+            return int(np.abs(src - win).sum())
 
         def cost_of(mvx, mvy, sad):
             return sad + lam * (se_len(int(mvx - mvp[0]))
@@ -230,7 +232,7 @@ class H264ReferenceEncoder:
                            (-step, -step), (step, step), (-step, step),
                            (step, -step)):
                 mv = (cx + dx, cy + dy)
-                blk = MC.mc_luma_block(refY, x0, y0, mv[0], mv[1], 16, 16)
+                blk = MC.mc_luma_block(refY, x0, y0, mv[0], mv[1], w, h)
                 sad = int(np.abs(src - blk).sum())
                 cst = cost_of(mv[0], mv[1], sad)
                 if cst < best_sub[0]:
@@ -246,14 +248,49 @@ class H264ReferenceEncoder:
         g.slice_id[my, mx] = 0
         skip_mv = INTER.pskip_mv(g, m, my, mx, 0)
         mvp = INTER.predict_mv(g, m, my * 4, mx * 4, 4, 4, 0, 0)
-        mv, me_cost = self._me_16x16(src, refY, x0, y0, mvp, lam)
+        mv, me_cost = self._me_block(src, refY, x0, y0, 16, 16, mvp, lam)
+
+        # try split partitions (16x8 / 8x16): worthwhile when halves move
+        # differently; small lambda penalty for the extra mvd+ref syntax
+        p_type = INTER.P_16x16
+        parts_mv = [mv]
+        split_pen = 10 * lam
+        if self.cfg.inter_partitions:
+            mv_t, c_t = self._me_block(src[0:8, :], refY, x0, y0, 16, 8,
+                                       mvp, lam)
+            mv_b, c_b = self._me_block(src[8:16, :], refY, x0, y0 + 8, 16, 8,
+                                       mvp, lam)
+            mv_l, c_l = self._me_block(src[:, 0:8], refY, x0, y0, 8, 16,
+                                       mvp, lam)
+            mv_r, c_r = self._me_block(src[:, 8:16], refY, x0 + 8, y0, 8, 16,
+                                       mvp, lam)
+            options = [(me_cost, INTER.P_16x16, [mv]),
+                       (c_t + c_b + split_pen, INTER.P_16x8, [mv_t, mv_b]),
+                       (c_l + c_r + split_pen, INTER.P_8x16, [mv_l, mv_r])]
+            me_cost, p_type, parts_mv = min(options, key=lambda o: o[0])
 
         # build the inter candidate
         s = INTER.PMBSymbols()
         s.mb_class = INTER.MB_P
-        s.p_type = INTER.P_16x16
+        s.p_type = p_type
         s.qp = qp
-        predY = MC.mc_luma_block(refY, x0, y0, int(mv[0]), int(mv[1]), 16, 16)
+        if p_type == INTER.P_16x16:
+            s.partitions = [INTER.InterPartition(my * 4, mx * 4, 4, 4, 0,
+                                                 parts_mv[0])]
+        elif p_type == INTER.P_16x8:
+            s.partitions = [
+                INTER.InterPartition(my * 4, mx * 4, 4, 2, 0, parts_mv[0]),
+                INTER.InterPartition(my * 4 + 2, mx * 4, 4, 2, 0, parts_mv[1])]
+        else:
+            s.partitions = [
+                INTER.InterPartition(my * 4, mx * 4, 2, 4, 0, parts_mv[0]),
+                INTER.InterPartition(my * 4, mx * 4 + 2, 2, 4, 0, parts_mv[1])]
+        predY = np.zeros((16, 16), np.int32)
+        for part in s.partitions:
+            lx, ly = part.bx * 4 - x0, part.by * 4 - y0
+            predY[ly:ly + part.h4 * 4, lx:lx + part.w4 * 4] = MC.mc_luma_block(
+                refY, part.bx * 4, part.by * 4, int(part.mv[0]),
+                int(part.mv[1]), part.w4 * 4, part.h4 * 4)
         resid = src - predY
         blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
         wall = T.np_forward_transform_4x4(blocks.reshape(16, 4, 4))
@@ -274,8 +311,13 @@ class H264ReferenceEncoder:
         any_dc = any_ac = False
         for comp, (plane_s, refp) in enumerate(((Us, refUp), (Vs, refVp))):
             qpc = int(T.chroma_qp(qp, self.pps.chroma_qp_offset(comp)))
-            predC = MC.mc_chroma_block(refp, mx * 8, my * 8, int(mv[0]),
-                                       int(mv[1]), 8, 8)
+            predC = np.zeros((8, 8), np.int32)
+            for part in s.partitions:
+                cx, cy = part.bx * 2 - mx * 8, part.by * 2 - my * 8
+                predC[cy:cy + part.h4 * 2, cx:cx + part.w4 * 2] = \
+                    MC.mc_chroma_block(refp, part.bx * 2, part.by * 2,
+                                       int(part.mv[0]), int(part.mv[1]),
+                                       part.w4 * 2, part.h4 * 2)
             residc = plane_s[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] - predC
             cblocks = residc.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
             wc = T.np_forward_transform_4x4(cblocks.reshape(4, 4, 4))
@@ -302,10 +344,8 @@ class H264ReferenceEncoder:
             for comp in range(2):
                 for i in range(4):
                     s.chroma_ac[comp][i] = [0] * 15
-        s.partitions = [INTER.InterPartition(my * 4, mx * 4, 4, 4, 0, mv)]
-
         # skip?
-        if (s.cbp_luma == 0 and s.cbp_chroma == 0
+        if (p_type == INTER.P_16x16 and s.cbp_luma == 0 and s.cbp_chroma == 0
                 and mv[0] == skip_mv[0] and mv[1] == skip_mv[1]):
             sk = INTER.apply_skip(g, m, my, mx, 0, qp)
             reconstruct_inter_mb(Yr, Ur, Vr, g, my, mx, 0, sk, refs, self.pps)
