@@ -32,6 +32,11 @@ from ..ops import intra as IP
 from ..ops import transform as T
 from .recon import _residuals, wavefront_schedule
 
+import os
+
+# split intra/deblock scans pipeline better than one fused scan on v5e
+FUSED_SCAN = os.environ.get("JMX_FUSED_SCAN") == "1"
+
 
 # ---------------------------------------------------------------------------
 # skew helpers (static per geometry)
@@ -718,10 +723,21 @@ def _decode_core(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
         bsh_mb = bs_h.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3)
         bsv_t = _skew(bsv_mb, mys_j, mxs_j)
         bsh_t = _skew(bsh_mb, mys_j, mxs_j)
-        Yt, Ut, Vt = _fused_scan(intra_xs, has_inter, qp_t, mxs_j, mys_j,
-                                 valid_j, bmax, alpha_off, beta_off,
-                                 chroma_qp_off, second_chroma_qp_off,
-                                 bsv_t, bsh_t)
+        if FUSED_SCAN:
+            # one combined scan (half the steps, but the larger body defeats
+            # XLA's cross-step pipelining on v5e: measured 2.4x SLOWER than
+            # the split scans at 1080p — kept for future re-evaluation)
+            Yt, Ut, Vt = _fused_scan(intra_xs, has_inter, qp_t, mxs_j, mys_j,
+                                     valid_j, bmax, alpha_off, beta_off,
+                                     chroma_qp_off, second_chroma_qp_off,
+                                     bsv_t, bsh_t)
+        else:
+            Yt, Ut, Vt = _intra_tile_scan(
+                resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t, i16_t,
+                cmode_t, a_l_t, a_t_t, a_tr_t, valid_j, bmax, *inter_args)
+            Yt, Ut, Vt = _deblock_tile_scan(
+                Yt, Ut, Vt, qp_t, mxs_j, mys_j, valid_j, bmax, alpha_off,
+                beta_off, chroma_qp_off, second_chroma_qp_off, bsv_t, bsh_t)
     else:
         Yt, Ut, Vt = _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t, modes_t,
                                       cls_t, i16_t, cmode_t, a_l_t, a_t_t,
