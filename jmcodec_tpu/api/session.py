@@ -34,7 +34,7 @@ from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 
-from ..utils.metrics import counters, timers
+from ..utils.metrics import counters, logger, timers
 
 # Backpressure threshold mirrors the reference's 5 MB free-space rule
 # (intel_dec/intel_dec.cpp:28,351-360) on a 10 MB ring (intel_dec.cpp:27).
@@ -235,6 +235,13 @@ class DecoderSession:
                 # features outside the fast path (P/B slices, PCM, CABAC for
                 # now) fall back to the host reference decoder
                 self._decode_chunk_host(chunk)
+                return
+            except (ValueError, EOFError, KeyError, IndexError) as e:
+                # corrupt bitstream: drop the broken picture(s) and resync at
+                # the next keyframe (SURVEY §5.3 elastic-recovery parity)
+                counters.add("corrupt_chunks")
+                logger.warning("dropping corrupt chunk (%d bytes): %s",
+                               len(chunk), e)
                 return
             for fs, sps in pics:
                 self._stream_info = (sps.width, sps.height)

@@ -14,6 +14,9 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from jmcodec_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
+honor_jax_platforms_env()
+
 from jmcodec_tpu.api.session import Codec, DecoderSession, PixFmt  # noqa: E402
 
 

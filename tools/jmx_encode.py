@@ -12,6 +12,9 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from jmcodec_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
+honor_jax_platforms_env()
+
 from jmcodec_tpu.api.session import EncoderParams, EncoderSession, PixFmt  # noqa
 
 

@@ -13,6 +13,9 @@ import os
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from jmcodec_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
+honor_jax_platforms_env()
 sys.path.insert(0, os.path.join(__file__.rsplit("/", 2)[0], "tests"))
 
 import numpy as np  # noqa: E402

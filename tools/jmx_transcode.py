@@ -15,6 +15,9 @@ import sys
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from jmcodec_tpu.utils.platform import honor_jax_platforms_env  # noqa: E402
+honor_jax_platforms_env()
+
 import numpy as np  # noqa: E402
 
 from jmcodec_tpu.api.session import (DecoderSession, EncoderParams,  # noqa
@@ -51,8 +54,19 @@ def main():
         manifest.save()
         print(f"created manifest with {len(manifest.jobs)} GOPs")
 
-    # headers (SPS/PPS before the first IDR) prefix every standalone GOP
-    head = data[:manifest.jobs[0].byte_start] if manifest.jobs[0].byte_start else b""
+    # SPS/PPS NALs prefix every standalone GOP chunk (split_gops attaches the
+    # stream-leading headers to GOP 0, so extract them explicitly)
+    from jmcodec_tpu.codec.h264 import nal as NAL
+    head = b""
+    for s, e in NAL.split_annexb(data):
+        typ = data[s] & 0x1F
+        if typ in (7, 8):
+            sc = s - 3
+            if sc > 0 and data[sc - 1] == 0:
+                sc -= 1
+            head += data[sc:e]
+        if typ in (1, 5):
+            break
 
     while True:
         job = manifest.claim(args.worker)
