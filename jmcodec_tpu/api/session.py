@@ -169,6 +169,17 @@ class DecoderSession:
     def set_yuv_callback(self, cb: Callable) -> None:
         self._yuv_callback = cb
 
+    def decode_frame(self, data: Optional[bytes]):
+        """Combined feed+pull (parity: jm_nvdec_decode_frame,
+        nv_dec.cpp:481-494): push bytes (None = EOF) and pop one frame if
+        ready. Returns (frame_or_None, got_frame)."""
+        if data:
+            self.input_data(data)
+        else:
+            self.set_eof()
+        fr = self.get_frame()
+        return fr, fr is not None
+
     # ---- queries ----
 
     def get_stream_info(self) -> Optional[Tuple[int, int]]:
