@@ -413,6 +413,138 @@ def _edge_h_chroma(Pc, Qc, bs, ia, ib, tabs):
             jnp.stack([q0n, Qc[:, 1, :]], axis=1))
 
 
+def _deblock_tile_scan_intra(Yt, Ut, Vt, qp_t, mxs_t, mys_t, valid_t, bmax,
+                       alpha_off, beta_off, chroma_qp_off,
+                       second_chroma_qp_off):
+    """Yt/Ut/Vt: skewed recon tiles [n_steps, bmax, ...]; returns same-shape
+    deblocked tiles (diagonal d emitted at scan step d+2)."""
+    n_steps = Yt.shape[0]
+    alpha_t = jnp.asarray(DB.ALPHA_TABLE)
+    beta_t = jnp.asarray(DB.BETA_TABLE)
+    tc0_t = jnp.asarray(DB.TC0_TABLE).reshape(-1)
+    tabs = (alpha_t, beta_t, tc0_t)
+    cqt = jnp.asarray(T.CHROMA_QP)
+
+    pad3 = lambda x, z: jnp.concatenate([x, jnp.broadcast_to(z, (2,) + x.shape[1:])])
+    Yt_x = pad3(Yt, jnp.zeros_like(Yt[0]))
+    Ut_x = pad3(Ut, jnp.zeros_like(Ut[0]))
+    Vt_x = pad3(Vt, jnp.zeros_like(Vt[0]))
+    qp_x = pad3(qp_t, jnp.zeros_like(qp_t[0]))
+    mxs_x = pad3(mxs_t, jnp.zeros_like(mxs_t[0]))
+    mys_x = pad3(mys_t, jnp.zeros_like(mys_t[0]))
+    val_x = pad3(valid_t, jnp.zeros_like(valid_t[0]))
+
+    def qav(qa, qb):
+        return (qa + qb + 1) >> 1
+
+    def body(carry, xs):
+        (Ay, Au, Av, By, Bu, Bv, qA, qB, vA, vB) = carry
+        (R, Ru, Rv, qp, mxs, mys, valid) = xs
+        act = valid == 1
+        roll1 = lambda x: jnp.roll(x, 1, axis=0)
+
+        q_left = qA
+        q_top = roll1(qB)
+        top_ok = act & (mys > 0) & (roll1(vB) == 1)
+        left_ok = act & (mxs > 0) & (vA == 1)
+
+        # ---------- luma vertical edges ----------
+        # edge 0 (MB boundary, bs=4) between A (left) and R
+        qa0 = qav(qp, q_left)
+        ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
+        ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
+        bs0 = jnp.where(left_ok, 4, 0)[:, None]
+        Pn, Qn = _edge_v_luma(Ay[:, :, 12:16], R[:, :, 0:4], bs0, ia0, ib0, tabs)
+        Ay = Ay.at[:, :, 12:16].set(Pn)
+        R = R.at[:, :, 0:4].set(Qn)
+        # internal edges bs=3
+        ia = jnp.clip(qp + alpha_off, 0, 51)[:, None]
+        ib = jnp.clip(qp + beta_off, 0, 51)[:, None]
+        bs3 = jnp.where(act, 3, 0)[:, None]
+        for e in (1, 2, 3):
+            x = 4 * e
+            Pn, Qn = _edge_v_luma(R[:, :, x - 4:x], R[:, :, x:x + 4],
+                                  bs3, ia, ib, tabs)
+            R = R.at[:, :, x - 4:x].set(Pn)
+            R = R.at[:, :, x:x + 4].set(Qn)
+
+        # ---------- luma horizontal edges ----------
+        Tt = roll1(By)
+        qa0 = qav(qp, q_top)
+        ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
+        ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
+        bs0 = jnp.where(top_ok, 4, 0)[:, None]
+        Pn, Qn = _edge_h_luma(Tt[:, 12:16, :], R[:, 0:4, :], bs0, ia0, ib0, tabs)
+        Tt = Tt.at[:, 12:16, :].set(Pn)
+        R = R.at[:, 0:4, :].set(Qn)
+        By = jnp.roll(Tt, -1, axis=0)
+        for e in (1, 2, 3):
+            y = 4 * e
+            Pn, Qn = _edge_h_luma(R[:, y - 4:y, :], R[:, y:y + 4, :],
+                                  bs3, ia, ib, tabs)
+            R = R.at[:, y - 4:y, :].set(Pn)
+            R = R.at[:, y:y + 4, :].set(Qn)
+
+        # ---------- chroma ----------
+        new_c = []
+        for (Ac, Bc, Rc, off) in ((Au, Bu, Ru, chroma_qp_off),
+                                  (Av, Bv, Rv, second_chroma_qp_off)):
+            qc = cqt[jnp.clip(qp + off, 0, 51)]
+            qc_l = cqt[jnp.clip(q_left + off, 0, 51)]
+            qc_t = cqt[jnp.clip(q_top + off, 0, 51)]
+            # vertical edge 0 (bs=4) and internal (cx=4, bs=3)
+            qa0 = qav(qc, qc_l)
+            ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
+            ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
+            Pn, Qn = _edge_v_chroma(Ac[:, :, 6:8], Rc[:, :, 0:2],
+                                    jnp.where(left_ok, 4, 0)[:, None],
+                                    ia0, ib0, tabs)
+            Ac = Ac.at[:, :, 6:8].set(Pn)
+            Rc = Rc.at[:, :, 0:2].set(Qn)
+            iac = jnp.clip(qc + alpha_off, 0, 51)[:, None]
+            ibc = jnp.clip(qc + beta_off, 0, 51)[:, None]
+            Pn, Qn = _edge_v_chroma(Rc[:, :, 2:4], Rc[:, :, 4:6],
+                                    bs3, iac, ibc, tabs)
+            Rc = Rc.at[:, :, 2:4].set(Pn)
+            Rc = Rc.at[:, :, 4:6].set(Qn)
+            # horizontal edges
+            Tc = roll1(Bc)
+            qa0 = qav(qc, qc_t)
+            ia0 = jnp.clip(qa0 + alpha_off, 0, 51)[:, None]
+            ib0 = jnp.clip(qa0 + beta_off, 0, 51)[:, None]
+            Pn, Qn = _edge_h_chroma(Tc[:, 6:8, :], Rc[:, 0:2, :],
+                                    jnp.where(top_ok, 4, 0)[:, None],
+                                    ia0, ib0, tabs)
+            Tc = Tc.at[:, 6:8, :].set(Pn)
+            Rc = Rc.at[:, 0:2, :].set(Qn)
+            Bc = jnp.roll(Tc, -1, axis=0)
+            Pn, Qn = _edge_h_chroma(Rc[:, 2:4, :], Rc[:, 4:6, :],
+                                    bs3, iac, ibc, tabs)
+            Rc = Rc.at[:, 2:4, :].set(Pn)
+            Rc = Rc.at[:, 4:6, :].set(Qn)
+            new_c.append((Rc, Ac, Bc))
+
+        (Ru2, Au2, Bu2), (Rv2, Av2, Bv2) = new_c
+        # emit the now-final diagonal t-2; shift the window:
+        #   A_next = current diagonal, B_next = old A (updated by our V edge 0)
+        ys = (By, Bu2, Bv2)
+        new_carry = (R, Ru2, Rv2, Ay, Au2, Av2,
+                     qp, qA, act.astype(jnp.int32), vA)
+        return new_carry, ys
+
+    # carry layout: (Ay, Au, Av, By, Bu, Bv, qA, qB, vA, vB)
+    # with A = diagonal t-1, B = diagonal t-2
+    z16 = jnp.zeros((bmax, 16, 16), jnp.int32)
+    z8 = jnp.zeros((bmax, 8, 8), jnp.int32)
+    zq = jnp.zeros((bmax,), jnp.int32)
+    carry0 = (z16, z8, z8, z16, z8, z8, zq, zq, zq, zq)
+    _, ys = jax.lax.scan(body, carry0,
+                         (Yt_x, Ut_x, Vt_x, qp_x, mxs_x, mys_x, val_x))
+    Yd, Ud, Vd = ys
+    return Yd[2:], Ud[2:], Vd[2:]
+
+
+
 def _fused_scan(intra_xs, has_inter, qp_t, mxs_t, mys_t, valid_t, bmax,
                 alpha_off, beta_off, chroma_qp_off, second_chroma_qp_off,
                 bsv_t, bsh_t):
@@ -709,15 +841,19 @@ def _decode_core(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
     intra_xs = (resid_y_t, resid_u_t, resid_v_t, modes_t, cls_t, i16_t,
                 cmode_t, a_l_t, a_t_t, a_tr_t, valid_j) + (
                     inter_args if has_inter else ())
-    if deblock:
-        if has_inter:
-            nz_blk = jnp.any(luma_coeffs != 0, axis=(-1, -2)).astype(jnp.int32)
-            bs_v, bs_h = _bs_planes(mb_class, nz_blk, mv, ref_idx)
-        else:
-            zero_mv = jnp.zeros((mbh * 4, mbw * 4, 2), jnp.int32)
-            zero_ref = jnp.zeros((mbh * 4, mbw * 4), jnp.int32)
-            nz_blk = jnp.zeros((mbh * 4, mbw * 4), jnp.int32)
-            bs_v, bs_h = _bs_planes(mb_class, nz_blk, zero_mv, zero_ref)
+    if deblock and not has_inter:
+        # all-intra frames: bS is the constant 4/3 pattern (frame-edge 0) —
+        # the dedicated scan variant avoids the per-edge bS plane traffic
+        Yt, Ut, Vt = _intra_tile_scan(resid_y_t, resid_u_t, resid_v_t,
+                                      modes_t, cls_t, i16_t, cmode_t, a_l_t,
+                                      a_t_t, a_tr_t, valid_j, bmax,
+                                      *inter_args)
+        Yt, Ut, Vt = _deblock_tile_scan_intra(
+            Yt, Ut, Vt, qp_t, mxs_j, mys_j, valid_j, bmax, alpha_off,
+            beta_off, chroma_qp_off, second_chroma_qp_off)
+    elif deblock:
+        nz_blk = jnp.any(luma_coeffs != 0, axis=(-1, -2)).astype(jnp.int32)
+        bs_v, bs_h = _bs_planes(mb_class, nz_blk, mv, ref_idx)
         # reshape to per-MB [4(edge/col), 4(sub)] and skew
         bsv_mb = bs_v.reshape(mbh, 4, mbw, 4).transpose(0, 2, 3, 1)
         bsh_mb = bs_h.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3)
