@@ -92,6 +92,7 @@ static int do_encode(int argc, char **argv) {
     const char *cname = argc > 7 ? argv[7] : "libx264";
     int gop = argc > 8 ? atoi(argv[8]) : 1;
     const char *preset = argc > 9 ? argv[9] : "medium";
+    const char *extra = argc > 10 ? argv[10] : "";
 
     const AVCodec *codec = avcodec_find_encoder_by_name(cname);
     if (!codec) die("encoder not found");
@@ -108,7 +109,8 @@ static int do_encode(int argc, char **argv) {
         /* CAVLC baseline-ish, no 8x8, deterministic */
         snprintf(params, sizeof params,
                  "qp=%d:cabac=0:8x8dct=0:threads=1:scenecut=0:keyint=%d:"
-                 "min-keyint=%d:bframes=0:weightp=0", qp, gop, gop);
+                 "min-keyint=%d:bframes=0:weightp=0%s%s", qp, gop, gop,
+                 extra[0] ? ":" : "", extra);
         av_opt_set(ctx->priv_data, "x264-params", params, 0);
         av_opt_set(ctx->priv_data, "profile", "baseline", 0);
     } else {

@@ -51,3 +51,10 @@ def test_device_matches_host_x264_stream(qp):
     frames = [make_frame(80, 64, seed=11, kind="gradient_noise")]
     stream = oracle_encode(frames, 80, 64, qp=qp, gop=1)
     assert check_stream(stream) == 1
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="no libavcodec oracle")
+def test_device_matches_host_multislice():
+    frames = [make_frame(96, 64, seed=12, kind="gradient_noise")]
+    stream = oracle_encode(frames, 96, 64, qp=28, gop=1, extra="slices=3")
+    assert check_stream(stream) == 1

@@ -67,3 +67,19 @@ def test_p_frames_noise_high_motion():
     frames = moving_frames(96, 96, 4, step=(9, 13), kind="noise")
     stream = oracle_encode(frames, 96, 96, qp=24, gop=4)
     assert check(stream) == 4
+
+
+@pytest.mark.parametrize("slices", [2, 4])
+def test_multislice_frames(slices):
+    """Multiple slices per picture: nC/intra-pred availability must reset at
+    slice boundaries (both I and P frames)."""
+    frames = moving_frames(96, 96, 3, step=(2, 3))
+    stream = oracle_encode(frames, 96, 96, qp=28, gop=3,
+                           extra=f"slices={slices}")
+    assert check(stream) == 3
+
+
+def test_multislice_intra_only():
+    frames = [make_frame(128, 96, seed=2, kind="edges")]
+    stream = oracle_encode(frames, 128, 96, qp=26, gop=1, extra="slices=3")
+    assert check(stream) == 1

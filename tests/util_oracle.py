@@ -44,7 +44,7 @@ def oracle_decode(stream: bytes, suffix=".h264"):
 
 
 def oracle_encode(frames, W, H, qp=30, codec="libx264", gop=1,
-                  preset="medium") -> bytes:
+                  preset="medium", extra=None) -> bytes:
     with tempfile.TemporaryDirectory() as d:
         inp = os.path.join(d, "in.i420")
         outp = os.path.join(d, "out.es")
@@ -53,9 +53,11 @@ def oracle_encode(frames, W, H, qp=30, codec="libx264", gop=1,
                 f.write(np.asarray(Y, np.uint8).tobytes())
                 f.write(np.asarray(U, np.uint8).tobytes())
                 f.write(np.asarray(V, np.uint8).tobytes())
-        subprocess.run([ORACLE_BIN, "encode", inp, str(W), str(H), str(qp),
-                        outp, codec, str(gop), preset],
-                       capture_output=True, check=True)
+        cmd = [ORACLE_BIN, "encode", inp, str(W), str(H), str(qp),
+               outp, codec, str(gop), preset]
+        if extra:
+            cmd.append(extra)
+        subprocess.run(cmd, capture_output=True, check=True)
         return open(outp, "rb").read()
 
 
