@@ -223,53 +223,113 @@ class DecoderSession:
     def _last_picture_start(self, data: bytes) -> int:
         """Byte offset of the start code of the LAST picture-initial slice
         NAL (first_mb_in_slice == 0); bytes before it form complete AUs."""
+        starts = self._picture_starts(data)
+        return starts[-1] if starts else -1
+
+    @staticmethod
+    def _picture_starts(data: bytes) -> List[int]:
+        """Start-code offsets of every picture-initial slice NAL
+        (first_mb_in_slice == 0)."""
         from ..codec.h264 import nal as NAL
-        last = -1
+        starts: List[int] = []
         for s, e in NAL.split_annexb(data):
-            hdr = data[s]
-            typ = hdr & 0x1F
+            typ = data[s] & 0x1F
             if typ in (1, 5):
                 # first_mb_in_slice == 0 <=> first ue bit pattern "1"
                 if s + 1 < len(data) and (data[s + 1] & 0x80):
                     sc = s - 3
                     if sc > 0 and data[sc - 1] == 0:
                         sc -= 1
-                    last = max(last, sc)
-        return last
+                    starts.append(sc)
+        return starts
 
     def _decode_chunk(self, chunk: bytes) -> None:
+        """Decode a chunk picture by picture so a mid-chunk fallback or a
+        corrupt picture never duplicates / drops neighbours (ADVICE r1 #2)."""
+        chunk = getattr(self, "_pending_prefix", b"") + chunk
+        self._pending_prefix = b""
         self._cache_headers(chunk)
-        if self._parser is not None:
-            try:
-                pics = self._parser.parse_annexb(chunk)
-            except NotImplementedError:
-                # features outside the fast path (P/B slices, PCM, CABAC for
-                # now) fall back to the host reference decoder
-                self._decode_chunk_host(chunk)
-                return
-            except (ValueError, EOFError, KeyError, IndexError) as e:
-                # corrupt bitstream: drop the broken picture(s) and resync at
-                # the next keyframe (SURVEY §5.3 elastic-recovery parity)
-                counters.add("corrupt_chunks")
-                logger.warning("dropping corrupt chunk (%d bytes): %s",
-                               len(chunk), e)
-                return
-            for fs, sps in pics:
-                self._stream_info = (sps.width, sps.height)
-                if self._use_device and not fs.has_pcm:
-                    from ..kernels.recon_tiles import decode_frame_symbols
-                    with timers.stage("device_recon"):
-                        Y, U, V = decode_frame_symbols(fs)
-                    counters.add("frames_device")
-                else:
-                    self._decode_chunk_host(chunk)
+        starts = self._picture_starts(chunk)
+        if not starts:
+            # parameter sets / SEI only so far: keep them for the picture
+            # that follows (they must reach the entropy parser, not just the
+            # header cache)
+            self._pending_prefix = chunk
+            return
+        cuts = [0] + starts[1:] + [len(chunk)]
+        for i in range(len(cuts) - 1):
+            self._decode_picture(chunk[cuts[i]:cuts[i + 1]])
+
+    def _decode_picture(self, pic: bytes) -> None:
+        """Decode one picture's bytes (leading SPS/PPS/SEI included) on the
+        fast device path when possible, else the host reference path; both
+        share corrupt-picture containment + keyframe resync."""
+        try:
+            if self._parser is not None:
+                try:
+                    self._decode_picture_fast(pic)
                     return
-                w, h = sps.width, sps.height
-                self._frames.append((Y[:h, :w], U[:h // 2, :w // 2],
-                                     V[:h // 2, :w // 2]))
-                self._meter.tick_frame()
-        else:
-            self._decode_chunk_host(chunk)
+                except NotImplementedError:
+                    pass  # outside fast-path scope (P/B, CABAC, PCM...)
+            self._decode_picture_host(pic)
+        except NotImplementedError as e:
+            counters.add("unsupported_pictures")
+            logger.warning("dropping unsupported picture (%d bytes): %s",
+                           len(pic), e)
+        except (ValueError, EOFError, KeyError, IndexError) as e:
+            # corrupt bitstream: drop the broken picture and resync at the
+            # next keyframe (SURVEY §5.3 elastic-recovery parity)
+            counters.add("corrupt_chunks")
+            logger.warning("dropping corrupt picture (%d bytes): %s",
+                           len(pic), e)
+
+    def _decode_picture_fast(self, pic: bytes) -> None:
+        pics = self._parser.parse_annexb(pic)
+        for fs, sps in pics:
+            self._stream_info = (sps.width, sps.height)
+            if not (self._use_device and not fs.has_pcm):
+                raise NotImplementedError("device path rejected picture")
+            from ..kernels.recon_tiles import decode_frame_symbols
+            with timers.stage("device_recon"):
+                Y, U, V = decode_frame_symbols(fs)
+            counters.add("frames_device")
+            # mirror reference frames into the host DPB so a later host
+            # fallback (e.g. a P picture) sees the device-decoded refs
+            # (ADVICE r1 #1)
+            if fs.nal_ref_idc != 0:
+                self._mirror_into_host_dpb(fs, Y, U, V)
+            w, h = sps.width, sps.height
+            self._frames.append((Y[:h, :w], U[:h // 2, :w // 2],
+                                 V[:h // 2, :w // 2]))
+            self._meter.tick_frame()
+
+    def _host_refdec(self):
+        if self._refdec is None:
+            from ..codec.h264.refdec import H264ReferenceDecoder
+            self._refdec = H264ReferenceDecoder()
+        return self._refdec
+
+    def _mirror_into_host_dpb(self, fs, Y, U, V) -> None:
+        from ..codec.h264.refdec import RefPicture
+        dec = self._host_refdec()
+        if fs.is_idr:
+            dec.dpb.clear()
+        dec.dpb.max_refs = max(1, fs.max_num_ref_frames)
+        dec.dpb.add(RefPicture(fs.frame_num,
+                               np.asarray(Y, np.int32),
+                               np.asarray(U, np.int32),
+                               np.asarray(V, np.int32)))
+
+    def _decode_picture_host(self, pic: bytes) -> None:
+        dec = self._host_refdec()
+        if not dec.sps and getattr(self, "_hdr_cache", None):
+            pic = b"".join(self._hdr_cache.get(t, b"") for t in (7, 8)) + pic
+        out = dec.decode_annexb(pic)
+        for fr in out:
+            sps = list(dec.sps.values())[0]
+            self._stream_info = (sps.width, sps.height)
+            self._frames.append(fr.crop(sps))
+            self._meter.tick_frame()
 
     def _cache_headers(self, chunk: bytes) -> None:
         """Remember raw SPS/PPS NALs so a mid-stream fallback decoder can be
@@ -284,20 +344,6 @@ class DecoderSession:
                 if not hasattr(self, "_hdr_cache"):
                     self._hdr_cache = {}
                 self._hdr_cache[typ] = chunk[sc:e]
-
-    def _decode_chunk_host(self, chunk: bytes) -> None:
-        if self._refdec is None:
-            from ..codec.h264.refdec import H264ReferenceDecoder
-            self._refdec = H264ReferenceDecoder()
-        if not self._refdec.sps and getattr(self, "_hdr_cache", None):
-            chunk = b"".join(self._hdr_cache.get(t, b"") for t in (7, 8)) + chunk
-        out = self._refdec.decode_annexb(chunk)
-        for fr in out:
-            sps = list(self._refdec.sps.values())[0]
-            self._stream_info = (sps.width, sps.height)
-            self._frames.append(fr.crop(sps))
-            self._meter.tick_frame()
-
 
 class EncoderParams:
     """Defaults-then-override config struct, parity with

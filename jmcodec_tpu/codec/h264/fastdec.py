@@ -68,9 +68,26 @@ class FastH264Parser:
                 raise NotImplementedError("CABAC")
             if hdr0 is None:
                 hdr0 = hdr
+            elif len(units) > 1:
+                # per-slice deblock control is not plumbed into the frame-level
+                # bS planes; decode honestly or not at all (ADVICE r1 #5)
+                cur = (hdr.disable_deblocking_filter_idc,
+                       hdr.slice_alpha_c0_offset_div2,
+                       hdr.slice_beta_offset_div2)
+                ref = (hdr0.disable_deblocking_filter_idc,
+                       hdr0.slice_alpha_c0_offset_div2,
+                       hdr0.slice_beta_offset_div2)
+                if cur != ref or hdr.disable_deblocking_filter_idc == 2:
+                    raise NotImplementedError(
+                        "per-slice deblock params differ (or idc==2)")
             parser.parse_slice(fs, u.rbsp, r.pos, hdr.first_mb_in_slice,
                                hdr.qp(pps), slice_id)
         fs.fill_availability(parser.slice_map)
+        fs.frame_num = hdr0.frame_num
+        fs.is_idr = hdr0.is_idr
+        fs.nal_ref_idc = units[0].nal_ref_idc
+        fs.max_num_ref_frames = sps.max_num_ref_frames
+        fs.log2_max_frame_num = sps.log2_max_frame_num
         fs.deblock_enabled = hdr0.disable_deblocking_filter_idc != 1
         fs.alpha_off = hdr0.slice_alpha_c0_offset_div2 * 2
         fs.beta_off = hdr0.slice_beta_offset_div2 * 2

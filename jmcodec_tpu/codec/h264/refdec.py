@@ -231,9 +231,29 @@ class H264ReferenceDecoder:
                 raise NotImplementedError("B slices land in a later round")
             deblock_params.append(hdr)
 
+        if len(deblock_params) > 1:
+            # frame-level deblock uses the first slice's params; refuse to
+            # emit wrong pixels when slices disagree or use idc==2
+            # (no-filter-across-slice-boundaries), which the bS planes do not
+            # model (ADVICE r1 #5)
+            p0 = (deblock_params[0].disable_deblocking_filter_idc,
+                  deblock_params[0].slice_alpha_c0_offset_div2,
+                  deblock_params[0].slice_beta_offset_div2)
+            for h in deblock_params:
+                if ((h.disable_deblocking_filter_idc,
+                     h.slice_alpha_c0_offset_div2,
+                     h.slice_beta_offset_div2) != p0
+                        or h.disable_deblocking_filter_idc == 2):
+                    raise NotImplementedError(
+                        "per-slice deblock params differ (or idc==2)")
         pre = (Y.copy(), U.copy(), V.copy())
         hdr = deblock_params[0]
         fs.fill_availability(g.slice_id)
+        fs.frame_num = hdr.frame_num
+        fs.is_idr = hdr.is_idr
+        fs.nal_ref_idc = units[0].nal_ref_idc
+        fs.max_num_ref_frames = sps.max_num_ref_frames
+        fs.log2_max_frame_num = sps.log2_max_frame_num
         fs.deblock_enabled = hdr.disable_deblocking_filter_idc != 1
         fs.alpha_off = hdr.slice_alpha_c0_offset_div2 * 2
         fs.beta_off = hdr.slice_beta_offset_div2 * 2

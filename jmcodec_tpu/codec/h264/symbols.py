@@ -53,6 +53,12 @@ class FrameSymbols:
     # inter motion planes (None for all-intra frames)
     mv: np.ndarray = None            # [mbh*4, mbw*4, 2] int32 quarter-pel
     ref: np.ndarray = None           # [mbh*4, mbw*4] int32; -1 = intra
+    # picture identity (for DPB management by the caller)
+    frame_num: int = 0
+    is_idr: bool = False
+    nal_ref_idc: int = 1
+    max_num_ref_frames: int = 1
+    log2_max_frame_num: int = 4
     # deblock control (from the picture's slice headers)
     deblock_enabled: bool = True
     alpha_off: int = 0

@@ -7,8 +7,12 @@ the fusion XLA does piecewise, done explicitly with blocks laid out for the
 VPU (the last two dims are the 4x4 block; the batch dim is tiled in VMEM-
 sized chunks).
 
-Used by the recon pipeline when the platform supports Pallas (TPU); the jnp
-path in ops/transform.py is the oracle and fallback. Bit-exact either way.
+Status: standalone, bit-exact vs the jnp path in ops/transform.py (tested in
+tests/test_pallas_idct.py) but NOT yet wired into the production recon scan —
+the production `_residuals` splices I16x16 Hadamard DC values between dequant
+and IDCT, which this kernel does not model. Integration needs a DC-plane
+input + mask in the kernel and an on-TPU measurement showing it beats XLA's
+own fusion; until then the jnp path is the production path.
 """
 
 from __future__ import annotations

@@ -9,6 +9,8 @@ resume skips completed ones.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import time
@@ -99,32 +101,49 @@ class TranscodeManifest:
 
     # ---- scheduling ----
 
+    @contextlib.contextmanager
+    def _locked(self):
+        """Exclusive manifest transaction: flock + reload-on-entry so
+        concurrent workers never double-claim or overwrite each other's
+        status (lost-update fix)."""
+        os.makedirs(self.output_dir, exist_ok=True)
+        lock_path = os.path.join(self.output_dir, "manifest.lock")
+        with open(lock_path, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(self.path()):
+                    self.jobs = TranscodeManifest.load(self.output_dir).jobs
+                yield
+                self.save()
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
     def claim(self, worker: str) -> Optional[GopJob]:
         """Claim the next pending GOP (also reclaims stale 'running' jobs
         older than 10 minutes — the failure-detection hook)."""
         now = time.time()
-        for j in self.jobs:
-            if j.status == "pending" or (
-                    j.status == "running" and now - j.updated > 600):
-                j.status = "running"
-                j.worker = worker
-                j.updated = now
-                self.save()
-                return j
+        with self._locked():
+            for j in self.jobs:
+                if j.status == "pending" or (
+                        j.status == "running" and now - j.updated > 600):
+                    j.status = "running"
+                    j.worker = worker
+                    j.updated = now
+                    return j
         return None
 
     def complete(self, index: int, output: str) -> None:
-        j = self.jobs[index]
-        j.status = "done"
-        j.output = output
-        j.updated = time.time()
-        self.save()
+        with self._locked():
+            j = self.jobs[index]
+            j.status = "done"
+            j.output = output
+            j.updated = time.time()
 
     def fail(self, index: int) -> None:
-        j = self.jobs[index]
-        j.status = "failed"
-        j.updated = time.time()
-        self.save()
+        with self._locked():
+            j = self.jobs[index]
+            j.status = "failed"
+            j.updated = time.time()
 
     def pending(self) -> int:
         return sum(j.status in ("pending", "running", "failed")

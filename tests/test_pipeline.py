@@ -52,6 +52,9 @@ def test_manifest_claim_complete_resume(tmp_path):
     assert j3.index not in (j1.index, j2.index)
 
     # stale running job is reclaimed after timeout
+    # claim() is a locked read-modify-write against the on-disk manifest, so
+    # the staleness must be persisted, not just poked in memory
     m2.jobs[j2.index].updated -= 1000
+    m2.save()
     j4 = m2.claim("worker-d")
     assert j4.index == j2.index

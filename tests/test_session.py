@@ -128,3 +128,56 @@ def test_encode_session_stream_is_conformant():
     data, _ = enc.output_bitstream()
     frames, w, h = oracle_decode(data)
     assert (w, h) == (64, 64) and len(frames) == 1
+
+
+@pytest.mark.skipif(not have_oracle(), reason="oracle unavailable")
+def test_decode_session_chunked_ip_stream():
+    """ADVICE r1 #1 repro: an I+P x264 stream fed in streaming chunks must
+    decode bit-exactly — the device fast path decodes the IDR, then the P
+    pictures fall back to the host path whose DPB must have been primed with
+    the device-decoded reference."""
+    from util_oracle import oracle_encode
+    W, H = 64, 48
+    frames = [make_frame(W, H, seed=i) for i in range(5)]
+    stream = oracle_encode(frames, W, H, qp=30, gop=5)  # IDR + 4 P
+    ref_frames, _, _ = oracle_decode(stream)
+    dec = DecoderSession(Codec.H264, PixFmt.I420)
+    got = []
+    pos = 0
+    while not dec.is_exit():
+        if dec.need_more_data() and pos < len(stream):
+            pos += dec.input_data(stream[pos:pos + 101])
+        if pos >= len(stream):
+            dec.set_eof()
+        fr = dec.get_frame()
+        if fr is not None:
+            got.append(fr)
+    assert len(got) == len(ref_frames)
+    for (g, r) in zip(got, ref_frames):
+        for a, b in zip(g, r):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not have_oracle(), reason="oracle unavailable")
+def test_decode_session_multi_picture_chunk_with_pcm_fallback():
+    """ADVICE r1 #2: a chunk holding several pictures where a later one needs
+    the host path must not duplicate earlier frames."""
+    from util_oracle import oracle_encode
+    W, H = 48, 48
+    frames = [make_frame(W, H, seed=i, kind="noise") for i in range(3)]
+    # qp=0 noise makes x264 pick I_PCM macroblocks on some MBs
+    stream = oracle_encode(frames, W, H, qp=0, gop=1)
+    ref_frames, _, _ = oracle_decode(stream)
+    dec = DecoderSession(Codec.H264, PixFmt.I420)
+    dec.input_data(stream)
+    dec.set_eof()
+    got = []
+    while True:
+        fr = dec.get_frame()
+        if fr is None:
+            break
+        got.append(fr)
+    assert len(got) == len(ref_frames)
+    for (g, r) in zip(got, ref_frames):
+        for a, b in zip(g, r):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

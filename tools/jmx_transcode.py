@@ -75,9 +75,23 @@ def main():
         try:
             chunk = head + data[job.byte_start:job.byte_end]
             dec = DecoderSession()
-            dec.input_data(chunk)
-            dec.set_eof()
             frames = []
+            # feed-with-drain loop: input_data may partially accept when the
+            # chunk exceeds the 10MB ring (the reference grows its buffer,
+            # intel_dec.cpp dec_extend_bitstream — here we drain frames
+            # between feeds instead of dropping input)
+            fed = 0
+            while fed < len(chunk):
+                take = dec.input_data(chunk[fed:])
+                fed += take
+                while True:
+                    fr = dec.get_frame()
+                    if fr is None:
+                        break
+                    frames.append(fr)
+                if take == 0 and not dec._frames:
+                    raise RuntimeError("decoder stalled with full input ring")
+            dec.set_eof()
             while True:
                 fr = dec.get_frame()
                 if fr is None:
