@@ -37,6 +37,9 @@ class MotionGrids:
     mb_height: int
     mv: np.ndarray = None        # [mbh*4, mbw*4, 2] int32 quarter-pel
     ref: np.ndarray = None       # [mbh*4, mbw*4] int32; -1 = intra/unset
+    done: np.ndarray = None      # [mbh*4, mbw*4] 1 once the block's motion
+    #                              is final (spec 6.4.11.7: a within-MB C
+    #                              neighbor not yet decoded is unavailable)
 
     def __post_init__(self):
         if self.mv is None:
@@ -44,6 +47,8 @@ class MotionGrids:
                                np.int32)
             self.ref = np.full((self.mb_height * 4, self.mb_width * 4), -1,
                                np.int32)
+            self.done = np.zeros((self.mb_height * 4, self.mb_width * 4),
+                                 np.int32)
 
 
 def _neighbor(g: MB.MBGrids, m: MotionGrids, by: int, bx: int,
@@ -53,7 +58,8 @@ def _neighbor(g: MB.MBGrids, m: MotionGrids, by: int, bx: int,
     if bx < 0 or by < 0 or bx >= gw or by >= gh:
         return np.zeros(2, np.int32), -1, False
     my, mx = by // 4, bx // 4
-    if g.slice_id[my, mx] != cur_slice or g.mb_class[my, mx] < 0:
+    if g.slice_id[my, mx] != cur_slice or g.mb_class[my, mx] < 0 \
+            or not m.done[by, bx]:
         return np.zeros(2, np.int32), -1, False
     r = int(m.ref[by, bx])
     if r < 0:  # intra MB: "available" but has no motion info
@@ -150,6 +156,7 @@ def parse_p_macroblock(r: BitReader, g: MB.MBGrids, m: MotionGrids,
         # intra in P slice: motion grid stays -1
         m.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
         m.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        m.done[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 1
         return s
 
     s = PMBSymbols()
@@ -165,6 +172,7 @@ def parse_p_macroblock(r: BitReader, g: MB.MBGrids, m: MotionGrids,
         mv = mvp + np.asarray(mvd, np.int32)
         m.mv[by:by + h4, bx:bx + w4] = mv
         m.ref[by:by + h4, bx:bx + w4] = ref_idx
+        m.done[by:by + h4, bx:bx + w4] = 1
         s.partitions.append(InterPartition(by, bx, w4, h4, ref_idx, mv))
 
     if mb_type == P_16x16:
@@ -247,6 +255,7 @@ def apply_skip(g: MB.MBGrids, m: MotionGrids, my: int, mx: int,
     mv = pskip_mv(g, m, my, mx, cur_slice)
     m.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = mv
     m.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+    m.done[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 1
     s.partitions.append(InterPartition(my * 4, mx * 4, 4, 4, 0, mv))
     return s
 
@@ -263,6 +272,7 @@ def write_p_macroblock(w: BitWriter, g: MB.MBGrids, m: MotionGrids,
                               mb_type_offset=5)
         m.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
         m.mv[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        m.done[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 1
         return
     w.ue(s.p_type)
     g.mb_class[my, mx] = MB_P
@@ -275,6 +285,7 @@ def write_p_macroblock(w: BitWriter, g: MB.MBGrids, m: MotionGrids,
         mvd = part.mv - mvp
         m.mv[part.by:part.by + part.h4, part.bx:part.bx + part.w4] = part.mv
         m.ref[part.by:part.by + part.h4, part.bx:part.bx + part.w4] = part.ref_idx
+        m.done[part.by:part.by + part.h4, part.bx:part.bx + part.w4] = 1
         return int(mvd[0]), int(mvd[1])
 
     parts = s.partitions

@@ -212,23 +212,31 @@ class H264ReferenceDecoder:
         self.dpb.max_refs = max(1, sps.max_num_ref_frames)
         ref_list = self.dpb.list0(h0.frame_num, 1 << sps.log2_max_frame_num)
 
+        cstate = None
+        if pps.entropy_coding_mode_flag:
+            from .cabac import CabacMBState
+            cstate = CabacMBState(mbw, mbh)
         for slice_idx, u in enumerate(units):
             hdr, r = parse_slice_header(u.rbsp, sps, pps, u.nal_unit_type,
                                         u.nal_ref_idc)
-            if pps.entropy_coding_mode_flag:
-                raise NotImplementedError("CABAC")
-            if hdr.slice_type == SLICE_I:
-                self._decode_slice_data(r, hdr, sps, pps, g, Y, U, V,
-                                        slice_idx, fs)
-            elif hdr.slice_type == SLICE_P:
+            refs = []
+            if hdr.slice_type == SLICE_P:
                 has_inter = True
                 refs = ref_list[:hdr.num_ref_idx_active_l0]
                 if not refs:
                     raise ValueError("P slice with empty reference list")
+            elif hdr.slice_type != SLICE_I:
+                raise NotImplementedError("B slices land in a later round")
+            if pps.entropy_coding_mode_flag:
+                self._decode_slice_data_cabac(u.rbsp, r.pos, hdr, sps, pps,
+                                              g, m, Y, U, V, slice_idx, refs,
+                                              fs, cstate)
+            elif hdr.slice_type == SLICE_I:
+                self._decode_slice_data(r, hdr, sps, pps, g, Y, U, V,
+                                        slice_idx, fs)
+            else:
                 self._decode_p_slice_data(r, hdr, sps, pps, g, m, Y, U, V,
                                           slice_idx, refs, fs)
-            else:
-                raise NotImplementedError("B slices land in a later round")
             deblock_params.append(hdr)
 
         if len(deblock_params) > 1:
@@ -311,6 +319,44 @@ class H264ReferenceDecoder:
                 fill_mb_symbols(fs, my, mx, s)
             addr += 1
             if not r.more_rbsp_data():
+                break
+
+    def _decode_slice_data_cabac(self, rbsp: bytes, bit_pos: int, hdr,
+                                 sps: SPS, pps: PPS, g: MB.MBGrids,
+                                 m: "INTER.MotionGrids", Y, U, V,
+                                 slice_idx: int, refs, fs, cstate) -> None:
+        """CABAC slice_data (7.3.4 ae(v) branch): per-MB mb_skip_flag (P),
+        macroblock layer, end_of_slice_flag."""
+        from .cabac import CabacSliceDecoder
+        cd = CabacSliceDecoder(rbsp, bit_pos, hdr, sps, pps, g, m, cstate)
+        mbw = sps.mb_width
+        n_mbs = mbw * sps.mb_height
+        qp = pps.pic_init_qp + hdr.slice_qp_delta
+        addr = hdr.first_mb_in_slice
+        is_p = hdr.slice_type == SLICE_P
+        while True:
+            if addr >= n_mbs:
+                raise ValueError("MB address out of range")
+            my, mx = divmod(addr, mbw)
+            if is_p and cd.mb_skip_flag(my, mx, slice_idx):
+                s = cd.apply_skip(my, mx, slice_idx, qp)
+            elif is_p:
+                s = cd.parse_p_mb_body(my, mx, slice_idx, qp, cd.p_mbtype())
+                qp = s.qp
+            else:
+                s = cd.parse_intra_mb_body(my, mx, slice_idx, qp,
+                                           cd.i_mbtype(my, mx, slice_idx))
+                qp = s.qp
+            if s.mb_class == INTER.MB_P:
+                reconstruct_inter_mb(Y, U, V, g, my, mx, slice_idx, s, refs,
+                                     pps)
+            else:
+                reconstruct_intra_mb(Y, U, V, g, my, mx, slice_idx, s, pps)
+            if fs is not None:
+                fill_mb_symbols(fs, my, mx, s,
+                                motion=m if s.mb_class == INTER.MB_P else None)
+            addr += 1
+            if cd.end_of_slice():
                 break
 
     def _decode_p_slice_data(self, r: BitReader, hdr, sps: SPS, pps: PPS,

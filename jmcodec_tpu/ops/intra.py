@@ -269,3 +269,158 @@ def pred_chroma8x8(mode: int, t8, l8, tl, avail_top: bool, avail_left: bool):
     c = (17 * V + 16) >> 5
     y, x = np.mgrid[0:8, 0:8]
     return _clip1((a + b * (x - 3) + c * (y - 3) + 16) >> 5).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Intra 8x8 luma prediction (High profile, spec 8.3.2.2)
+# ---------------------------------------------------------------------------
+
+def filter_ref8x8(t16, l8, tl, avail_top: bool, avail_left: bool,
+                  avail_tl: bool):
+    """Reference sample filtering (8.3.2.2.1). t16: 16 top samples (top-right
+    already replicated from t[7] by the caller when unavailable), l8: 8 left,
+    tl: corner. Returns (t16f, l8f, tlf) int32."""
+    t = np.asarray(t16, np.int64)
+    l = np.asarray(l8, np.int64)
+    tf = np.zeros(16, np.int64)
+    lf = np.zeros(8, np.int64)
+    tlf = int(tl)
+    if avail_top:
+        tf[0] = ((int(tl) + 2 * t[0] + t[1] + 2) >> 2) if avail_tl \
+            else ((3 * t[0] + t[1] + 2) >> 2)
+        tf[1:15] = (t[0:14] + 2 * t[1:15] + t[2:16] + 2) >> 2
+        tf[15] = (t[14] + 3 * t[15] + 2) >> 2
+    if avail_tl:
+        if avail_top and avail_left:
+            tlf = int((t[0] + 2 * int(tl) + l[0] + 2) >> 2)
+        elif avail_top:
+            tlf = int((3 * int(tl) + t[0] + 2) >> 2)
+        elif avail_left:
+            tlf = int((3 * int(tl) + l[0] + 2) >> 2)
+    if avail_left:
+        lf[0] = ((int(tl) + 2 * l[0] + l[1] + 2) >> 2) if avail_tl \
+            else ((3 * l[0] + l[1] + 2) >> 2)
+        lf[1:7] = (l[0:6] + 2 * l[1:7] + l[2:8] + 2) >> 2
+        lf[7] = (l[6] + 3 * l[7] + 2) >> 2
+    return tf.astype(np.int32), lf.astype(np.int32), tlf
+
+
+def pred8x8(mode: int, t16, l8, tl, avail_top: bool, avail_left: bool,
+            avail_tl: bool):
+    """Single-block 8x8 luma prediction -> [8,8] int32 (filtered refs
+    computed internally). Mode numbering matches the 4x4 set."""
+    t, l, tlf = filter_ref8x8(t16, l8, tl, avail_top, avail_left, avail_tl)
+    y, x = np.mgrid[0:8, 0:8]
+    if mode == I4_V:
+        if not avail_top:
+            raise ValueError("I8 V requires top")
+        return np.broadcast_to(t[:8], (8, 8)).astype(np.int32)
+    if mode == I4_H:
+        if not avail_left:
+            raise ValueError("I8 H requires left")
+        return np.broadcast_to(l[:, None], (8, 8)).astype(np.int32)
+    if mode == I4_DC:
+        if avail_top and avail_left:
+            v = (int(t[:8].sum()) + int(l.sum()) + 8) >> 4
+        elif avail_top:
+            v = (int(t[:8].sum()) + 4) >> 3
+        elif avail_left:
+            v = (int(l.sum()) + 4) >> 3
+        else:
+            v = 128
+        return np.full((8, 8), v, np.int32)
+    if mode == I4_DDL:
+        if not avail_top:
+            raise ValueError("I8 DDL requires top")
+        te = np.concatenate([t, [t[15], t[15]]])
+        p = (te[x + y] + 2 * te[x + y + 1] + te[x + y + 2] + 2) >> 2
+        p[7, 7] = (t[14] + 3 * t[15] + 2) >> 2
+        return p.astype(np.int32)
+    if mode == I4_DDR:
+        if not (avail_top and avail_left and avail_tl):
+            raise ValueError("I8 DDR requires top+left")
+        p = np.zeros((8, 8), np.int64)
+        for yy in range(8):
+            for xx in range(8):
+                if xx > yy:
+                    a = t[xx - yy - 2] if xx - yy - 2 >= 0 else tlf
+                    p[yy, xx] = (a + 2 * t[xx - yy - 1] + t[xx - yy] + 2) >> 2
+                elif xx < yy:
+                    a = l[yy - xx - 2] if yy - xx - 2 >= 0 else tlf
+                    p[yy, xx] = (a + 2 * l[yy - xx - 1] + l[yy - xx] + 2) >> 2
+                else:
+                    p[yy, xx] = (t[0] + 2 * tlf + l[0] + 2) >> 2
+        return p.astype(np.int32)
+    if mode == I4_VR:
+        if not (avail_top and avail_left and avail_tl):
+            raise ValueError("I8 VR requires top+left")
+        p = np.zeros((8, 8), np.int64)
+        for yy in range(8):
+            for xx in range(8):
+                z = 2 * xx - yy
+                if z >= 0 and z % 2 == 0:
+                    i = xx - (yy >> 1)
+                    a = t[i - 1] if i - 1 >= 0 else tlf
+                    p[yy, xx] = (a + t[i] + 1) >> 1
+                elif z >= 0:
+                    i = xx - (yy >> 1)
+                    a = t[i - 2] if i - 2 >= 0 else tlf
+                    b = t[i - 1] if i - 1 >= 0 else tlf
+                    p[yy, xx] = (a + 2 * b + t[i] + 2) >> 2
+                elif z == -1:
+                    p[yy, xx] = (l[0] + 2 * tlf + t[0] + 2) >> 2
+                else:
+                    p[yy, xx] = (l[yy - 2 * xx - 1] + 2 * l[yy - 2 * xx - 2]
+                                 + l[yy - 2 * xx - 3] + 2) >> 2
+        return p.astype(np.int32)
+    if mode == I4_HD:
+        if not (avail_top and avail_left and avail_tl):
+            raise ValueError("I8 HD requires top+left")
+        p = np.zeros((8, 8), np.int64)
+        for yy in range(8):
+            for xx in range(8):
+                z = 2 * yy - xx
+                if z >= 0 and z % 2 == 0:
+                    i = yy - (xx >> 1)
+                    a = l[i - 1] if i - 1 >= 0 else tlf
+                    p[yy, xx] = (a + l[i] + 1) >> 1
+                elif z >= 0:
+                    i = yy - (xx >> 1)
+                    a = l[i - 2] if i - 2 >= 0 else tlf
+                    b = l[i - 1] if i - 1 >= 0 else tlf
+                    p[yy, xx] = (a + 2 * b + l[i] + 2) >> 2
+                elif z == -1:
+                    p[yy, xx] = (t[0] + 2 * tlf + l[0] + 2) >> 2
+                else:
+                    p[yy, xx] = (t[xx - 2 * yy - 1] + 2 * t[xx - 2 * yy - 2]
+                                 + t[xx - 2 * yy - 3] + 2) >> 2
+        return p.astype(np.int32)
+    if mode == I4_VL:
+        if not avail_top:
+            raise ValueError("I8 VL requires top")
+        p = np.zeros((8, 8), np.int64)
+        for yy in range(8):
+            i = np.arange(8) + (yy >> 1)
+            if yy % 2 == 0:
+                p[yy] = (t[i] + t[i + 1] + 1) >> 1
+            else:
+                p[yy] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return p.astype(np.int32)
+    if mode == I4_HU:
+        if not avail_left:
+            raise ValueError("I8 HU requires left")
+        p = np.zeros((8, 8), np.int64)
+        for yy in range(8):
+            for xx in range(8):
+                z = xx + 2 * yy
+                i = yy + (xx >> 1)
+                if z < 13 and z % 2 == 0:
+                    p[yy, xx] = (l[i] + l[i + 1] + 1) >> 1
+                elif z < 13:
+                    p[yy, xx] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+                elif z == 13:
+                    p[yy, xx] = (l[6] + 3 * l[7] + 2) >> 2
+                else:
+                    p[yy, xx] = l[7]
+        return p.astype(np.int32)
+    raise ValueError(f"bad intra8x8 mode {mode}")

@@ -283,3 +283,108 @@ def np_luma_dc_decode(c_dc, qp):
 def np_chroma_dc_decode(c_dc, qpc):
     f = hadamard_2x2(c_dc.astype(np.int32), np)
     return dequant_chroma_dc(f, qpc, np, DEQUANT4x4)
+
+
+# ---------------------------------------------------------------------------
+# 8x8 transform (High profile, spec 8.5.12.2/8.5.13) — flat scaling matrices
+# ---------------------------------------------------------------------------
+
+def _zigzag(n):
+    """Classic zigzag scan order for an n x n block (spec Table 8-8 for 8x8
+    frame coding): raster index of each scan position."""
+    order = sorted(range(n * n),
+                   key=lambda p: ((p // n) + (p % n),
+                                  (p // n) if ((p // n) + (p % n)) % 2
+                                  else (p % n)))
+    return np.array(order, dtype=np.int32)
+
+
+ZIGZAG8x8 = _zigzag(8)
+assert ZIGZAG4x4.tolist() == _zigzag(4).tolist(), "zigzag generator bug"
+
+# normAdjust8x8 "v" values per m = QP%6 (spec 8.5.13.1)
+_V8 = np.array(
+    [[20, 18, 32, 19, 25, 24],
+     [22, 19, 35, 21, 28, 26],
+     [26, 23, 42, 24, 33, 31],
+     [28, 25, 45, 26, 35, 33],
+     [32, 28, 51, 30, 40, 38],
+     [36, 32, 58, 34, 46, 43]], dtype=np.int32)
+
+# position-class map for 8x8 (i=row, j=col)
+_POS8 = np.zeros((8, 8), np.int32)
+for _i in range(8):
+    for _j in range(8):
+        if _i % 4 == 0 and _j % 4 == 0:
+            _POS8[_i, _j] = 0
+        elif _i % 2 == 1 and _j % 2 == 1:
+            _POS8[_i, _j] = 1
+        elif _i % 4 == 2 and _j % 4 == 2:
+            _POS8[_i, _j] = 2
+        elif (_i % 4 == 0 and _j % 2 == 1) or (_i % 2 == 1 and _j % 4 == 0):
+            _POS8[_i, _j] = 3
+        elif (_i % 4 == 0 and _j % 4 == 2) or (_i % 4 == 2 and _j % 4 == 0):
+            _POS8[_i, _j] = 4
+        else:
+            _POS8[_i, _j] = 5
+
+# LevelScale8x8[m][i][j] with flat weightScale8x8 == 16 folded in
+DEQUANT8x8 = 16 * _V8[:, _POS8]     # [6, 8, 8]
+
+
+def dequant_8x8(blocks, qp, xp, dq=None):
+    """Spec 8.5.13.1 scaling for 8x8 luma blocks. blocks [..., 8, 8] int32
+    levels; qp scalar or [...] per-block; returns dequantized d[..., 8, 8]."""
+    if dq is None:
+        dq = DEQUANT8x8 if xp is np else xp.asarray(DEQUANT8x8)
+    qp = xp.asarray(qp)
+    ls = dq[qp % 6]                      # [..., 8, 8]
+    q6 = qp // 6
+    shift_hi = xp.maximum(q6 - 6, 0)[..., None, None]
+    shift_lo = xp.maximum(6 - q6, 0)[..., None, None]
+    rnd = (1 << xp.maximum(5 - q6, 0))[..., None, None]
+    hi = (blocks * ls) << shift_hi
+    lo = (blocks * ls + rnd) >> shift_lo
+    return xp.where((qp >= 36)[..., None, None], hi, lo)
+
+
+def np_dequant_8x8(block, qp: int):
+    return np.asarray(dequant_8x8(block[None], np.array([qp]), np))[0]
+
+
+def _rows8(x):
+    return tuple(x[..., r, :] for r in range(8))
+
+
+def inverse_transform_8x8(d, xp):
+    """Spec 8.5.12.2 8x8 inverse transform incl. final (x+32)>>6. Exact
+    integer butterflies; d [..., 8, 8] int32."""
+    def butterfly(d0, d1, d2, d3, d4, d5, d6, d7):
+        e0 = d0 + d4
+        e1 = -d3 + d5 - d7 - (d7 >> 1)
+        e2 = d0 - d4
+        e3 = d1 + d7 - d3 - (d3 >> 1)
+        e4 = (d2 >> 1) - d6
+        e5 = -d1 + d7 + d5 + (d5 >> 1)
+        e6 = d2 + (d6 >> 1)
+        e7 = d3 + d5 + d1 + (d1 >> 1)
+        f0 = e0 + e6
+        f1 = e1 + (e7 >> 2)
+        f2 = e2 + e4
+        f3 = e3 + (e5 >> 2)
+        f4 = e2 - e4
+        f5 = (e3 >> 2) - e5
+        f6 = e0 - e6
+        f7 = e7 - (e1 >> 2)
+        return (f0 + f7, f2 + f5, f4 + f3, f6 + f1,
+                f6 - f1, f4 - f3, f2 - f5, f0 - f7)
+
+    g = butterfly(*_rows8(xp.swapaxes(d, -1, -2)))      # columns first
+    cols = xp.stack(g, axis=-2)                          # [..., 8(row), 8]
+    h = butterfly(*_rows8(xp.swapaxes(cols, -1, -2)))
+    out = xp.stack(h, axis=-1)
+    return (out + 32) >> 6
+
+
+def np_inverse_transform_8x8(d):
+    return np.asarray(inverse_transform_8x8(np.asarray(d, np.int32), np))

@@ -93,6 +93,7 @@ static int do_encode(int argc, char **argv) {
     int gop = argc > 8 ? atoi(argv[8]) : 1;
     const char *preset = argc > 9 ? argv[9] : "medium";
     const char *extra = argc > 10 ? argv[10] : "";
+    const char *profile = argc > 11 ? argv[11] : "baseline";
 
     const AVCodec *codec = avcodec_find_encoder_by_name(cname);
     if (!codec) die("encoder not found");
@@ -107,12 +108,14 @@ static int do_encode(int argc, char **argv) {
     if (!strcmp(cname, "libx264")) {
         char params[256];
         /* CAVLC baseline-ish, no 8x8, deterministic */
+        /* defaults are CAVLC baseline-ish; later keys in x264-params win, so
+         * `extra` can override any of them (cabac=1, 8x8dct=1, bframes=N...) */
         snprintf(params, sizeof params,
                  "qp=%d:cabac=0:8x8dct=0:threads=1:scenecut=0:keyint=%d:"
                  "min-keyint=%d:bframes=0:weightp=0%s%s", qp, gop, gop,
                  extra[0] ? ":" : "", extra);
         av_opt_set(ctx->priv_data, "x264-params", params, 0);
-        av_opt_set(ctx->priv_data, "profile", "baseline", 0);
+        av_opt_set(ctx->priv_data, "profile", profile, 0);
     } else {
         char params[256];
         snprintf(params, sizeof params, "qp=%d:keyint=%d:min-keyint=%d:bframes=0",

@@ -44,7 +44,7 @@ def oracle_decode(stream: bytes, suffix=".h264"):
 
 
 def oracle_encode(frames, W, H, qp=30, codec="libx264", gop=1,
-                  preset="medium", extra=None) -> bytes:
+                  preset="medium", extra=None, profile=None) -> bytes:
     with tempfile.TemporaryDirectory() as d:
         inp = os.path.join(d, "in.i420")
         outp = os.path.join(d, "out.es")
@@ -55,8 +55,10 @@ def oracle_encode(frames, W, H, qp=30, codec="libx264", gop=1,
                 f.write(np.asarray(V, np.uint8).tobytes())
         cmd = [ORACLE_BIN, "encode", inp, str(W), str(H), str(qp),
                outp, codec, str(gop), preset]
-        if extra:
-            cmd.append(extra)
+        if extra or profile:
+            cmd.append(extra or "")
+        if profile:
+            cmd.append(profile)
         subprocess.run(cmd, capture_output=True, check=True)
         return open(outp, "rb").read()
 
