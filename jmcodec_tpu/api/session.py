@@ -287,7 +287,8 @@ class DecoderSession:
         pics = self._parser.parse_annexb(pic)
         for fs, sps in pics:
             self._stream_info = (sps.width, sps.height)
-            if not (self._use_device and not fs.has_pcm):
+            if not (self._use_device and not fs.has_pcm
+                    and not fs.has_t8):
                 raise NotImplementedError("device path rejected picture")
             from ..kernels.recon_tiles import decode_frame_symbols
             with timers.stage("device_recon"):

@@ -484,22 +484,39 @@ class CabacSliceDecoder:
             inc = self._cbf_inc(0, my, mx, None, None, cur_slice, cur_intra)
             s.luma_dc, ndc = self.residual_block(0, 16, inc)
             cs.cbf_dc[my, mx] = 1 if ndc else 0
-        n_ac = 15 if s.mb_class == MB.MB_I16x16 else 16
-        cat = 1 if s.mb_class == MB.MB_I16x16 else 2
-        for i in range(16):
-            by = my * 4 + int(MB.BLK_Y[i]) // 4
-            bx = mx * 4 + int(MB.BLK_X[i]) // 4
-            if s.cbp_luma & (1 << (i >> 2)):
-                inc = self._cbf_inc(cat, my, mx, (by, bx), None, cur_slice,
-                                    cur_intra)
-                coeffs, tc = self.residual_block(cat, n_ac, inc)
-                s.luma_ac[i][:n_ac] = coeffs
-                cs.cbf_luma[by, bx] = 1 if tc else 0
-                g.nz_luma[by, bx] = tc
-            else:
-                s.luma_ac[i] = [0] * 16
-                cs.cbf_luma[by, bx] = 0
-                g.nz_luma[by, bx] = 0
+        if s.transform8x8:
+            # cat5: 64-coeff blocks, no coded_block_flag (presence == cbp
+            # bit); replicate cbf/nz into the 4 covered 4x4 cells for
+            # neighbor ctx + deblock derivation
+            for i8 in range(4):
+                by = my * 4 + (i8 >> 1) * 2
+                bx = mx * 4 + (i8 & 1) * 2
+                cells = (slice(by, by + 2), slice(bx, bx + 2))
+                if s.cbp_luma & (1 << i8):
+                    coeffs, tc = self.residual_block(5, 64, None)
+                    s.luma8x8[i8] = coeffs
+                    cs.cbf_luma[cells] = 1
+                    g.nz_luma[cells] = tc
+                else:
+                    cs.cbf_luma[cells] = 0
+                    g.nz_luma[cells] = 0
+        else:
+            n_ac = 15 if s.mb_class == MB.MB_I16x16 else 16
+            cat = 1 if s.mb_class == MB.MB_I16x16 else 2
+            for i in range(16):
+                by = my * 4 + int(MB.BLK_Y[i]) // 4
+                bx = mx * 4 + int(MB.BLK_X[i]) // 4
+                if s.cbp_luma & (1 << (i >> 2)):
+                    inc = self._cbf_inc(cat, my, mx, (by, bx), None,
+                                        cur_slice, cur_intra)
+                    coeffs, tc = self.residual_block(cat, n_ac, inc)
+                    s.luma_ac[i][:n_ac] = coeffs
+                    cs.cbf_luma[by, bx] = 1 if tc else 0
+                    g.nz_luma[by, bx] = tc
+                else:
+                    s.luma_ac[i] = [0] * 16
+                    cs.cbf_luma[by, bx] = 0
+                    g.nz_luma[by, bx] = 0
         if s.cbp_chroma:
             for comp in range(2):
                 inc = self._cbf_inc(3, my, mx, None, comp, cur_slice,
@@ -543,6 +560,7 @@ class CabacSliceDecoder:
         cs.cbp_luma[my, mx] = s.cbp_luma
         cs.cbp_chroma[my, mx] = s.cbp_chroma
         cs.chroma_mode[my, mx] = getattr(s, "chroma_mode", 0)
+        cs.t8[my, mx] = getattr(s, "transform8x8", 0)
 
     def parse_intra_mb_body(self, my, mx, cur_slice, qp_prev,
                             mb_type) -> MB.MBSymbols:
@@ -556,14 +574,24 @@ class CabacSliceDecoder:
             g.slice_id[my, mx] = cur_slice
             if self.pps.transform_8x8_mode_flag:
                 if self.transform_8x8_flag(my, mx, cur_slice):
-                    raise NotImplementedError("8x8 transform")
-            for i in range(16):
-                by = my * 4 + int(MB.BLK_Y[i]) // 4
-                bx = mx * 4 + int(MB.BLK_X[i]) // 4
-                pred = g.predict_i4_mode(by, bx, cur_slice)
-                mode = self.intra4x4_pred_mode(pred)
-                s.i4_modes[i] = mode
-                g.i4_modes[by, bx] = mode
+                    s.transform8x8 = 1
+                    g.t8[my, mx] = 1
+            if s.transform8x8:
+                for b8 in range(4):
+                    by = my * 4 + (b8 >> 1) * 2
+                    bx = mx * 4 + (b8 & 1) * 2
+                    pred = g.predict_i4_mode(by, bx, cur_slice)
+                    mode = self.intra4x4_pred_mode(pred)
+                    s.i8_modes[b8] = mode
+                    g.i4_modes[by:by + 2, bx:bx + 2] = mode
+            else:
+                for i in range(16):
+                    by = my * 4 + int(MB.BLK_Y[i]) // 4
+                    bx = mx * 4 + int(MB.BLK_X[i]) // 4
+                    pred = g.predict_i4_mode(by, bx, cur_slice)
+                    mode = self.intra4x4_pred_mode(pred)
+                    s.i4_modes[i] = mode
+                    g.i4_modes[by, bx] = mode
             s.chroma_mode = self.intra_chroma_pred_mode(my, mx, cur_slice)
             s.cbp_luma, s.cbp_chroma = self.coded_block_pattern(my, mx,
                                                                 cur_slice)
@@ -703,7 +731,8 @@ class CabacSliceDecoder:
                 mb_type not in (INTER.P_8x8, INTER.P_8x8REF0)
                 or all(t == 0 for t in s.sub_types)):
             if self.transform_8x8_flag(my, mx, cur_slice):
-                raise NotImplementedError("8x8 transform")
+                s.transform8x8 = 1
+                g.t8[my, mx] = 1
         if s.cbp_luma or s.cbp_chroma:
             dq = self.mb_qp_delta()
             s.qp = (qp_prev + dq + 52) % 52

@@ -66,6 +66,8 @@ class FastH264Parser:
                 raise NotImplementedError("fast path: I slices only (round 1)")
             if pps.entropy_coding_mode_flag:
                 raise NotImplementedError("CABAC")
+            if pps.transform_8x8_mode_flag:
+                raise NotImplementedError("8x8 transform (native parser)")
             if hdr0 is None:
                 hdr0 = hdr
             elif len(units) > 1:

@@ -147,11 +147,12 @@ class PMBSymbols(MB.MBSymbols):
 
 def parse_p_macroblock(r: BitReader, g: MB.MBGrids, m: MotionGrids,
                        my: int, mx: int, cur_slice: int, qp_prev: int,
-                       mb_type: int, num_ref: int) -> PMBSymbols:
+                       mb_type: int, num_ref: int,
+                       t8_allowed: bool = False) -> PMBSymbols:
     """Parse one non-skip P macroblock after its mb_type."""
     if mb_type >= 5:
         s0 = MB.parse_i_macroblock(r, g, my, mx, cur_slice, qp_prev,
-                                   mb_type - 5)
+                                   mb_type - 5, t8_allowed)
         s = PMBSymbols(**{f: getattr(s0, f) for f in s0.__dataclass_fields__})
         # intra in P slice: motion grid stays -1
         m.ref[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
@@ -224,6 +225,15 @@ def parse_p_macroblock(r: BitReader, g: MB.MBGrids, m: MotionGrids,
     s.cbp_chroma = cbp >> 4
     if s.cbp_chroma == 3:
         raise ValueError("invalid cbp_chroma")
+
+    # transform_size_8x8_flag (7.3.5: after cbp, before mb_qp_delta; only
+    # when luma is coded and no sub-partition is smaller than 8x8)
+    if t8_allowed and s.cbp_luma and (
+            mb_type not in (P_8x8, P_8x8REF0)
+            or all(t == 0 for t in s.sub_types)):
+        if r.flag():
+            s.transform8x8 = 1
+            g.t8[my, mx] = 1
 
     if s.cbp_luma or s.cbp_chroma:
         dq = r.se()

@@ -89,11 +89,14 @@ class MBGrids:
     nz_luma: np.ndarray = field(default=None)
     # per chroma component, per 4x4 chroma block
     nz_chroma: np.ndarray = field(default=None)
-    # per 4x4 luma block: intra4x4 mode, -1 if not I4x4
+    # per 4x4 luma block: intra4x4/8x8 mode (8x8 modes replicated into the
+    # four covered cells, which makes cross-type mode prediction correct
+    # both ways per 8.3.2.1/8.3.2.2); -1 if not intra-NxN
     i4_modes: np.ndarray = field(default=None)
     mb_class: np.ndarray = field(default=None)   # -1 undecoded / MB_* enum
     slice_id: np.ndarray = field(default=None)
     qp: np.ndarray = field(default=None)
+    t8: np.ndarray = field(default=None)         # per-MB transform 8x8 flag
 
     def __post_init__(self):
         mw, mh = self.mb_width, self.mb_height
@@ -103,6 +106,7 @@ class MBGrids:
         self.mb_class = np.full((mh, mw), -1, np.int32)
         self.slice_id = np.full((mh, mw), -1, np.int32)
         self.qp = np.zeros((mh, mw), np.int32)
+        self.t8 = np.zeros((mh, mw), np.int32)  # transform_size_8x8_flag
 
     # ---- macroblock availability (spec 6.4.9) ----
 
@@ -180,6 +184,11 @@ class MBSymbols:
     cbp_luma: int = 0      # 4 bits, one per 8x8 quadrant
     cbp_chroma: int = 0    # 0/1/2
     qp: int = 26
+    # High profile 8x8 transform (luma residual as 4 x 64 scan-order lists)
+    transform8x8: int = 0
+    i8_modes: List[int] = field(default_factory=lambda: [0] * 4)
+    luma8x8: List[List[int]] = field(
+        default_factory=lambda: [[0] * 64 for _ in range(4)])
     # coefficients in SCAN order (zigzag), as produced/consumed by CAVLC:
     luma_dc: List[int] = field(default_factory=lambda: [0] * 16)   # I16 only
     luma_ac: List[List[int]] = field(default_factory=lambda: [[0] * 16 for _ in range(16)])
@@ -191,8 +200,10 @@ class MBSymbols:
 
 
 def parse_i_macroblock(r: BitReader, g: MBGrids, my: int, mx: int,
-                       cur_slice: int, qp_prev: int, mb_type: int) -> MBSymbols:
-    """Parse one I-slice macroblock (after its mb_type ue). Updates grids."""
+                       cur_slice: int, qp_prev: int, mb_type: int,
+                       t8_allowed: bool = False) -> MBSymbols:
+    """Parse one I-slice macroblock (after its mb_type ue). Updates grids.
+    t8_allowed = pps.transform_8x8_mode_flag (High profile)."""
     s = MBSymbols()
     if mb_type == 25:
         return _parse_ipcm(r, g, my, mx, cur_slice, qp_prev, s)
@@ -202,8 +213,12 @@ def parse_i_macroblock(r: BitReader, g: MBGrids, my: int, mx: int,
         # see this MB as present in the current slice
         g.mb_class[my, mx] = s.mb_class
         g.slice_id[my, mx] = cur_slice
+        if t8_allowed and r.flag():
+            s.transform8x8 = 1
+            g.t8[my, mx] = 1
+        n_pred = 4 if s.transform8x8 else 16
         pred_modes = []
-        for i in range(16):
+        for i in range(n_pred):
             if r.flag():
                 pred_modes.append(None)  # use predicted
             else:
@@ -219,18 +234,31 @@ def parse_i_macroblock(r: BitReader, g: MBGrids, my: int, mx: int,
         s.cbp_chroma = cbp >> 4
         if s.cbp_chroma == 3:
             raise ValueError("invalid cbp_chroma 3")
-        # resolve i4 modes in blk order (needs grid updates as we go)
-        for i in range(16):
-            by = my * 4 + int(BLK_Y[i]) // 4
-            bx = mx * 4 + int(BLK_X[i]) // 4
-            pred = g.predict_i4_mode(by, bx, cur_slice)
-            rem = pred_modes[i]
-            if rem is None:
-                mode = pred
-            else:
-                mode = rem + 1 if rem >= pred else rem
-            s.i4_modes[i] = mode
-            g.i4_modes[by, bx] = mode
+        if s.transform8x8:
+            # resolve 8x8 modes (pred via the replicated 4x4 mode grid —
+            # the top-left covered cell's neighbors are the spec's A/B)
+            for b8 in range(4):
+                by = my * 4 + (b8 >> 1) * 2
+                bx = mx * 4 + (b8 & 1) * 2
+                pred = g.predict_i4_mode(by, bx, cur_slice)
+                rem = pred_modes[b8]
+                mode = pred if rem is None else (
+                    rem + 1 if rem >= pred else rem)
+                s.i8_modes[b8] = mode
+                g.i4_modes[by:by + 2, bx:bx + 2] = mode
+        else:
+            # resolve i4 modes in blk order (needs grid updates as we go)
+            for i in range(16):
+                by = my * 4 + int(BLK_Y[i]) // 4
+                bx = mx * 4 + int(BLK_X[i]) // 4
+                pred = g.predict_i4_mode(by, bx, cur_slice)
+                rem = pred_modes[i]
+                if rem is None:
+                    mode = pred
+                else:
+                    mode = rem + 1 if rem >= pred else rem
+                s.i4_modes[i] = mode
+                g.i4_modes[by, bx] = mode
     elif 1 <= mb_type <= 24:
         s.mb_class = MB_I16x16
         s.i16_mode, s.cbp_luma, s.cbp_chroma = parse_i16_mb_type(mb_type)
@@ -277,6 +305,30 @@ def _parse_residual(r, g, my, mx, cur_slice, s: MBSymbols) -> None:
     if s.mb_class == MB_I16x16:
         nc = g.luma_nc(my * 4, mx * 4, cur_slice)
         s.luma_dc, _ = cavlc.decode_residual_block(r, nc, 16)
+    if s.transform8x8:
+        # CAVLC 8x8 (7.3.5.3.2): each coded 8x8 block is sent as 4
+        # interleaved 4x4 CAVLC blocks; 8x8 scan position 4*k + sub comes
+        # from sub-block `sub` scan position k. Each sub-block keeps its own
+        # TotalCoeff for nC prediction.
+        for i8 in range(4):
+            if s.cbp_luma & (1 << i8):
+                for sub in range(4):
+                    blk = i8 * 4 + sub
+                    by = my * 4 + int(BLK_Y[blk]) // 4
+                    bx = mx * 4 + int(BLK_X[blk]) // 4
+                    nc = g.luma_nc(by, bx, cur_slice)
+                    coeffs, tc = cavlc.decode_residual_block(r, nc, 16)
+                    for k in range(16):
+                        s.luma8x8[i8][4 * k + sub] = coeffs[k]
+                    g.nz_luma[by, bx] = tc
+            else:
+                for sub in range(4):
+                    blk = i8 * 4 + sub
+                    by = my * 4 + int(BLK_Y[blk]) // 4
+                    bx = mx * 4 + int(BLK_X[blk]) // 4
+                    g.nz_luma[by, bx] = 0
+        _parse_residual_chroma(r, g, my, mx, cur_slice, s)
+        return
     # luma 4x4 (AC for I16, full for I4)
     n_ac = 15 if s.mb_class == MB_I16x16 else 16
     for i in range(16):
@@ -290,6 +342,10 @@ def _parse_residual(r, g, my, mx, cur_slice, s: MBSymbols) -> None:
         else:
             s.luma_ac[i] = [0] * 16
             g.nz_luma[by, bx] = 0
+    _parse_residual_chroma(r, g, my, mx, cur_slice, s)
+
+
+def _parse_residual_chroma(r, g, my, mx, cur_slice, s: MBSymbols) -> None:
     # chroma DC
     if s.cbp_chroma:
         for comp in range(2):

@@ -29,6 +29,62 @@ from .symbols import (MBCLASS_I4x4, MBCLASS_I16x16, MBCLASS_IPCM,
                       FrameSymbols)
 
 
+def scan8x8_to_raster(scan: List[int]) -> np.ndarray:
+    """64 scan-order levels -> 8x8 raster block."""
+    flat = np.zeros(64, np.int32)
+    flat[T.ZIGZAG8x8] = np.asarray(scan[:64], np.int32)
+    return flat.reshape(8, 8)
+
+
+def recon_i8_block(Y: np.ndarray, g: MB.MBGrids, my: int, mx: int,
+                   b8: int, mode: int, resid: np.ndarray,
+                   cur_slice: int) -> None:
+    """Reconstruct one intra 8x8 luma block (High profile, spec 8.3.2.2)."""
+    x = mx * 16 + (b8 & 1) * 8
+    y = my * 16 + (b8 >> 1) * 8
+    avail_l = True if (b8 & 1) else g.mb_available(my, mx - 1, cur_slice)
+    avail_t = True if (b8 >> 1) else g.mb_available(my - 1, mx, cur_slice)
+    if b8 == 0:
+        avail_tl = g.mb_available(my - 1, mx - 1, cur_slice)
+        avail_tr = g.mb_available(my - 1, mx, cur_slice)
+    elif b8 == 1:
+        avail_tl = g.mb_available(my - 1, mx, cur_slice)
+        avail_tr = g.mb_available(my - 1, mx + 1, cur_slice)
+    elif b8 == 2:
+        avail_tl = g.mb_available(my, mx - 1, cur_slice)
+        avail_tr = True       # bottom row of blk 1, already decoded
+    else:
+        avail_tl = True
+        avail_tr = False      # right MB not yet decoded
+    t16 = np.zeros(16, np.int32)
+    l8 = np.zeros(8, np.int32)
+    tl = 0
+    if avail_t:
+        t16[:8] = Y[y - 1, x:x + 8]
+        if avail_tr:
+            t16[8:] = Y[y - 1, x + 8:x + 16]
+        else:
+            t16[8:] = t16[7]
+    if avail_l:
+        l8[:] = Y[y:y + 8, x - 1]
+    if avail_tl:
+        tl = int(Y[y - 1, x - 1])
+    pred = IP.pred8x8(mode, t16, l8, tl, avail_t, avail_l, avail_tl)
+    Y[y:y + 8, x:x + 8] = np.clip(pred + resid, 0, 255)
+
+
+def suppress_t8_inner_edges(bs_v: np.ndarray, bs_h: np.ndarray,
+                            t8: np.ndarray) -> None:
+    """Zero bS on the non-8x8-aligned internal luma edges of 8x8-transform
+    MBs (8.7: no filtering of 4x4 boundaries inside an 8x8 transform)."""
+    t8blk = np.repeat(np.repeat(t8.astype(bool), 4, 0), 4, 1)
+    gh, gw = t8blk.shape
+    coloff = (np.arange(gw) % 4) % 2 == 1
+    rowoff = (np.arange(gh) % 4) % 2 == 1
+    bs_v[t8blk & coloff[None, :]] = 0
+    bs_h[t8blk & rowoff[:, None]] = 0
+
+
 def scan_to_raster4x4(scan: List[int], dc: Optional[int] = None) -> np.ndarray:
     """Scan-order coefficient list -> 4x4 raster block. If dc is given, the
     list holds 15 AC coefficients for scan positions 1..15."""
@@ -274,6 +330,8 @@ class H264ReferenceDecoder:
                 bs_v, bs_h = compute_bs(g, m)
             else:
                 bs_v, bs_h = DB.intra_frame_bs(mbh, mbw)
+            if g.t8.any():
+                suppress_t8_inner_edges(bs_v, bs_h, g.t8)
             DB.deblock_frame(Y, U, V, g.qp, bs_v, bs_h,
                              alpha_off=fs.alpha_off, beta_off=fs.beta_off,
                              chroma_qp_off=pps.chroma_qp_index_offset,
@@ -312,7 +370,8 @@ class H264ReferenceDecoder:
             if my >= sps.mb_height:
                 raise ValueError("MB address out of range")
             mb_type = r.ue()
-            s = MB.parse_i_macroblock(r, g, my, mx, slice_idx, qp, mb_type)
+            s = MB.parse_i_macroblock(r, g, my, mx, slice_idx, qp, mb_type,
+                                      bool(pps.transform_8x8_mode_flag))
             qp = s.qp
             reconstruct_intra_mb(Y, U, V, g, my, mx, slice_idx, s, pps)
             if fs is not None:
@@ -385,7 +444,8 @@ class H264ReferenceDecoder:
             my, mx = divmod(addr, mbw)
             mb_type = r.ue()
             s = INTER.parse_p_macroblock(r, g, m, my, mx, slice_idx, qp,
-                                         mb_type, num_ref)
+                                         mb_type, num_ref,
+                                         bool(pps.transform_8x8_mode_flag))
             qp = s.qp
             if s.mb_class == INTER.MB_P:
                 reconstruct_inter_mb(Y, U, V, g, my, mx, slice_idx, s, refs,
@@ -403,6 +463,10 @@ def fill_mb_symbols(fs: FrameSymbols, my: int, mx: int, s: MB.MBSymbols,
                     motion: Optional["INTER.MotionGrids"] = None) -> None:
     """Record one parsed MB into the dense symbol planes."""
     fs.qp[my, mx] = s.qp
+    if getattr(s, "transform8x8", 0):
+        # 8x8 residuals have no dense-plane form yet; flag the frame so the
+        # device path defers to host recon
+        fs.has_t8 = True
     if s.mb_class == INTER.MB_P:
         fs.mb_class[my, mx] = 3
         if fs.mv is None:
@@ -491,7 +555,13 @@ def reconstruct_inter_mb(Y, U, V, g: MB.MBGrids, my: int, mx: int,
 
     qp = s.qp
     mbres = np.zeros((16, 16), np.int32)
-    if s.cbp_luma:
+    if s.cbp_luma and s.transform8x8:
+        for b8 in range(4):
+            if s.cbp_luma & (1 << b8):
+                x8, y8 = (b8 & 1) * 8, (b8 >> 1) * 8
+                d = T.np_dequant_8x8(scan8x8_to_raster(s.luma8x8[b8]), qp)
+                mbres[y8:y8 + 8, x8:x8 + 8] = T.np_inverse_transform_8x8(d)
+    elif s.cbp_luma:
         for i in range(16):
             if s.cbp_luma & (1 << (i >> 2)):
                 bx4, by4 = int(MB.BLK_X[i]), int(MB.BLK_Y[i])
@@ -523,7 +593,15 @@ def compute_bs(g: MB.MBGrids, m: INTER.MotionGrids):
     gh, gw = g.nz_luma.shape
     mb_intra = (g.mb_class >= 0) & (g.mb_class != INTER.MB_P)
     blk_intra = np.repeat(np.repeat(mb_intra, 4, 0), 4, 1)
-    nz = g.nz_luma > 0
+    nzc = np.maximum(g.nz_luma, 0)
+    if g.t8.any():
+        # 8x8-transform MBs: "the 4x4 block has coefficients" means the
+        # covering 8x8 block does (8.7.2.1 with transform_size_8x8_flag)
+        agg = nzc.reshape(gh // 2, 2, gw // 2, 2).sum(axis=(1, 3))
+        rep = np.repeat(np.repeat(agg, 2, 0), 2, 1)
+        t8blk = np.repeat(np.repeat(g.t8.astype(bool), 4, 0), 4, 1)
+        nzc = np.where(t8blk, rep, nzc)
+    nz = nzc > 0
 
     def edge_bs(p_sl, q_sl, mb_edge):
         intra_either = blk_intra[p_sl] | blk_intra[q_sl]
@@ -562,7 +640,15 @@ def reconstruct_intra_mb(Y, U, V, g: MB.MBGrids, my: int, mx: int,
         return
 
     qp = s.qp
-    if s.mb_class == MB.MB_I4x4:
+    if s.mb_class == MB.MB_I4x4 and s.transform8x8:
+        for b8 in range(4):
+            if s.cbp_luma & (1 << b8):
+                d = T.np_dequant_8x8(scan8x8_to_raster(s.luma8x8[b8]), qp)
+                resid = T.np_inverse_transform_8x8(d)
+            else:
+                resid = np.zeros((8, 8), np.int32)
+            recon_i8_block(Y, g, my, mx, b8, s.i8_modes[b8], resid, cur_slice)
+    elif s.mb_class == MB.MB_I4x4:
         for i in range(16):
             blk = scan_to_raster4x4(s.luma_ac[i])
             d = T.np_dequant_4x4(blk, qp)

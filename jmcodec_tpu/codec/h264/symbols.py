@@ -47,6 +47,8 @@ class FrameSymbols:
     avail_topright: np.ndarray = None  # [mbh, mbw]
     avail_topleft: np.ndarray = None   # [mbh, mbw]
     has_pcm: bool = False
+    has_t8: bool = False   # frame uses 8x8 transform (host recon path only
+    #                        until the device kernel learns 8x8 residuals)
     pcm_y: np.ndarray = None         # [mbh*16, mbw*16] int32 overlay (or None)
     pcm_u: np.ndarray = None
     pcm_v: np.ndarray = None

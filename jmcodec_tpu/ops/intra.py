@@ -370,8 +370,9 @@ def pred8x8(mode: int, t16, l8, tl, avail_top: bool, avail_left: bool,
                 elif z == -1:
                     p[yy, xx] = (l[0] + 2 * tlf + t[0] + 2) >> 2
                 else:
-                    p[yy, xx] = (l[yy - 2 * xx - 1] + 2 * l[yy - 2 * xx - 2]
-                                 + l[yy - 2 * xx - 3] + 2) >> 2
+                    i = yy - 2 * xx
+                    c = l[i - 3] if i - 3 >= 0 else tlf
+                    p[yy, xx] = (l[i - 1] + 2 * l[i - 2] + c + 2) >> 2
         return p.astype(np.int32)
     if mode == I4_HD:
         if not (avail_top and avail_left and avail_tl):
@@ -392,8 +393,9 @@ def pred8x8(mode: int, t16, l8, tl, avail_top: bool, avail_left: bool,
                 elif z == -1:
                     p[yy, xx] = (t[0] + 2 * tlf + l[0] + 2) >> 2
                 else:
-                    p[yy, xx] = (t[xx - 2 * yy - 1] + 2 * t[xx - 2 * yy - 2]
-                                 + t[xx - 2 * yy - 3] + 2) >> 2
+                    i = xx - 2 * yy
+                    c = t[i - 3] if i - 3 >= 0 else tlf
+                    p[yy, xx] = (t[i - 1] + 2 * t[i - 2] + c + 2) >> 2
         return p.astype(np.int32)
     if mode == I4_VL:
         if not avail_top:

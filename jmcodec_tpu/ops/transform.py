@@ -379,10 +379,12 @@ def inverse_transform_8x8(d, xp):
         return (f0 + f7, f2 + f5, f4 + f3, f6 + f1,
                 f6 - f1, f4 - f3, f2 - f5, f0 - f7)
 
-    g = butterfly(*_rows8(xp.swapaxes(d, -1, -2)))      # columns first
-    cols = xp.stack(g, axis=-2)                          # [..., 8(row), 8]
-    h = butterfly(*_rows8(xp.swapaxes(cols, -1, -2)))
-    out = xp.stack(h, axis=-1)
+    # horizontal pass: butterfly over the 8 elements of each row
+    h = butterfly(*tuple(d[..., :, i] for i in range(8)))
+    dh = xp.stack(h, axis=-1)                 # [..., 8, 8]
+    # vertical pass: butterfly over the 8 elements of each column
+    v = butterfly(*tuple(dh[..., i, :] for i in range(8)))
+    out = xp.stack(v, axis=-2)
     return (out + 32) >> 6
 
 
