@@ -143,6 +143,13 @@ class DecoderSession:
     def set_eof(self) -> None:
         self._eof = True
         self._try_decode(flush=True)
+        if self._refdec is not None:
+            # drain the display-reorder buffer (B streams; parity with the
+            # reference's EOF drain, intel_dec.cpp:851)
+            for fr in self._refdec.flush():
+                sps = list(self._refdec.sps.values())[0]
+                self._frames.append(fr.crop(sps))
+                self._meter.tick_frame()
         self._drained = True
 
     # ---- output side ----
@@ -288,7 +295,7 @@ class DecoderSession:
         for fs, sps in pics:
             self._stream_info = (sps.width, sps.height)
             if not (self._use_device and not fs.has_pcm
-                    and not fs.has_t8):
+                    and not fs.has_t8 and not fs.has_b):
                 raise NotImplementedError("device path rejected picture")
             from ..kernels.recon_tiles import decode_frame_symbols
             with timers.stage("device_recon"):

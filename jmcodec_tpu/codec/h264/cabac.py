@@ -142,6 +142,8 @@ class CabacMBState:
         self.cbp_chroma = z(mbh, mbw)       # derived (PCM=2)
         self.chroma_mode = z(mbh, mbw)
         self.is_intra = z(mbh, mbw)
+        self.direct16 = z(mbh, mbw)   # B_Skip / B_Direct_16x16
+        self.direct_blk = z(mbh * 4, mbw * 4)  # per-4x4 direct-coded flag
         self.cbf_dc = z(mbh, mbw)           # luma DC (I16 only; PCM=1)
         self.cbf_luma = z(mbh * 4, mbw * 4)  # per 4x4 (8x8 MBs replicate)
         self.cbf_cdc = z(2, mbh, mbw)
@@ -155,9 +157,10 @@ class CabacSliceDecoder:
     and symbol-plane filling are shared."""
 
     def __init__(self, rbsp: bytes, bit_pos: int, hdr, sps, pps, g, m,
-                 cs: CabacMBState):
+                 cs: CabacMBState, bctx=None):
         from .slicehdr import SLICE_I
         table = 0 if hdr.slice_type == SLICE_I else 1 + hdr.cabac_init_idc
+        self.bctx = bctx
         self.e = CabacEngine(rbsp, bit_pos, hdr.qp(pps), table)
         self.hdr = hdr
         self.sps = sps
@@ -322,24 +325,28 @@ class CabacSliceDecoder:
         self.prev_dqp_nz = 1
         return (k + 1) // 2 if (k & 1) else -(k // 2)
 
-    def _ref_cond(self, ny, nx, cur_slice) -> int:
+    def _ref_cond(self, ny, nx, cur_slice, lst=0) -> int:
         """condTermFlag for the ref_idx ctx (9.3.3.1.1.6): neighbor 4x4
-        block's ref > 0, reading m.ref directly — within-MB partitions whose
-        ref_idx was just decoded (ref pre-written, mv pending) must count."""
-        if nx < 0 or ny < 0 or nx >= self.m.ref.shape[1] \
-                or ny >= self.m.ref.shape[0]:
+        block's ref > 0 in the same list, reading the ref grid directly —
+        within-MB partitions whose ref_idx was just decoded (ref pre-written,
+        mv pending) must count."""
+        refg = self.m.ref if lst == 0 else self.m.ref1
+        if nx < 0 or ny < 0 or nx >= refg.shape[1] or ny >= refg.shape[0]:
             return 0
         nmy, nmx = ny // 4, nx // 4
         if not self._mb_avail(nmy, nmx, cur_slice):
             return 0
         if self.cs.skip[nmy, nmx]:
             return 0
-        return 1 if self.m.ref[ny, nx] > 0 else 0
+        if self.cs.direct_blk[ny, nx]:
+            # direct-coded neighbor blocks never count toward the ref ctx
+            return 0
+        return 1 if refg[ny, nx] > 0 else 0
 
     def ref_idx(self, by, bx, cur_slice, lst=0) -> int:
         e = self.e
-        inc = self._ref_cond(by, bx - 1, cur_slice) + \
-            2 * self._ref_cond(by - 1, bx, cur_slice)
+        inc = self._ref_cond(by, bx - 1, cur_slice, lst) + \
+            2 * self._ref_cond(by - 1, bx, cur_slice, lst)
         if not e.decode(54 + inc):
             return 0
         k = 1
@@ -350,18 +357,21 @@ class CabacSliceDecoder:
         return k
 
     def _abs_mvd_sum(self, by, bx, comp, cur_slice, lst) -> int:
-        """absMvdComp(A) + absMvdComp(B) for the mvd ctx (9.3.3.1.1.7)."""
+        """absMvdComp(A) + absMvdComp(B) for the mvd ctx (9.3.3.1.1.7).
+
+        The stored mvd plane is 0 for intra neighbors and unused lists (they
+        never write it), so no predFlag gate is needed — and none may be
+        used: during a B macroblock's mvd phase the list-1 refs of earlier
+        partitions are not applied to the ref grid yet, so a ref-based gate
+        would read stale state."""
         total = 0
+        mvd = self.cs.mvd
         for (ny, nx) in ((by, bx - 1), (by - 1, bx)):
-            if nx < 0 or ny < 0 or nx >= self.m.ref.shape[1] \
-                    or ny >= self.m.ref.shape[0]:
+            if nx < 0 or ny < 0 or nx >= mvd.shape[2] or ny >= mvd.shape[1]:
                 continue
-            nmy, nmx = ny // 4, nx // 4
-            if not self._mb_avail(nmy, nmx, cur_slice):
+            if not self._mb_avail(ny // 4, nx // 4, cur_slice):
                 continue
-            if self.m.ref[ny, nx] < 0:   # intra neighbor
-                continue
-            total += abs(int(self.cs.mvd[lst, ny, nx, comp]))
+            total += abs(int(mvd[lst, ny, nx, comp]))
         return total
 
     def mvd(self, by, bx, comp, cur_slice, lst=0) -> int:
@@ -479,7 +489,7 @@ class CabacSliceDecoder:
         and the nz/cbf neighbor grids."""
         g = self.g
         cs = self.cs
-        cur_intra = s.mb_class != 3  # MB_P == 3 (inter)
+        cur_intra = s.mb_class not in (3, 5)  # MB_P / MB_B are inter
         if s.mb_class == MB.MB_I16x16:
             inc = self._cbf_inc(0, my, mx, None, None, cur_slice, cur_intra)
             s.luma_dc, ndc = self.residual_block(0, 16, inc)
@@ -556,7 +566,10 @@ class CabacSliceDecoder:
             cs.cbf_cdc[:, my, mx] = 1
             cs.cbf_cac[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 1
             return
-        cs.is_intra[my, mx] = 1 if s.mb_class != 3 else 0
+        cs.is_intra[my, mx] = 1 if s.mb_class not in (3, 5) else 0
+        if getattr(s, "is_direct", False):
+            cs.direct16[my, mx] = 1
+            cs.direct_blk[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 1
         cs.cbp_luma[my, mx] = s.cbp_luma
         cs.cbp_chroma[my, mx] = s.cbp_chroma
         cs.chroma_mode[my, mx] = getattr(s, "chroma_mode", 0)
@@ -753,6 +766,218 @@ class CabacSliceDecoder:
         self.cs.cbf_cdc[:, my, mx] = 0
         self.cs.cbf_cac[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
         return s
+
+    # ---- B slices ----
+
+    def apply_b_skip(self, my, mx, cur_slice, qp_prev):
+        from . import inter as INTER
+        _, _, dctx = self.bctx
+        s = INTER.apply_direct(self.g, self.m, my, mx, cur_slice, qp_prev,
+                               dctx, True)
+        self.prev_dqp_nz = 0
+        self.record_mb(my, mx, s, skip=True)
+        self.cs.cbf_luma[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = 0
+        self.cs.cbf_cdc[:, my, mx] = 0
+        self.cs.cbf_cac[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+        return s
+
+    def b_mbtype(self, my, mx, cur_slice) -> int:
+        """mb_type in B slices (ctx 27..32 + intra suffix base 32)."""
+        e = self.e
+        cs = self.cs
+        inc = 0
+        for (ny, nx) in ((my, mx - 1), (my - 1, mx)):
+            if self._mb_avail(ny, nx, cur_slice) \
+                    and not cs.skip[ny, nx] and not cs.direct16[ny, nx]:
+                inc += 1
+        if not e.decode(27 + inc):
+            return 0
+        if not e.decode(30):
+            return 1 + e.decode(32)
+        bits = e.decode(31) << 3
+        bits |= e.decode(32) << 2
+        bits |= e.decode(32) << 1
+        bits |= e.decode(32)
+        if bits < 8:
+            return bits + 3
+        if bits == 13:
+            # intra suffix, ctx base 32
+            if not e.decode(32):
+                return 23 + 0
+            if e.terminate():
+                return 23 + 25
+            return 23 + self._intra_mbtype_tail((33, 34, 34, 35, 35))
+        if bits == 14:
+            return 11
+        if bits == 15:
+            return 22
+        bits = (bits << 1) | e.decode(32)
+        return bits - 4
+
+    def b_sub_mbtype(self) -> int:
+        e = self.e
+        if not e.decode(36):
+            return 0
+        if not e.decode(37):
+            return 1 + e.decode(39)
+        t = 3
+        if e.decode(38):
+            if e.decode(39):
+                return 11 + e.decode(39)
+            t += 4
+        t += 2 * e.decode(39)
+        t += e.decode(39)
+        return t
+
+    def parse_b_mb_body(self, my, mx, cur_slice, qp_prev, mb_type):
+        """One non-skip B macroblock after its mb_type (CABAC twin of
+        INTER.parse_b_macroblock)."""
+        from . import inter as INTER
+        g = self.g
+        m = self.m
+        _, _, dctx = self.bctx
+        hdr = self.hdr
+        if mb_type >= 23:
+            s0 = self.parse_intra_mb_body(my, mx, cur_slice, qp_prev,
+                                          mb_type - 23)
+            s = INTER.BMBSymbols(
+                **{f: getattr(s0, f)
+                   for f in MB.MBSymbols.__dataclass_fields__})
+            sl = (slice(my * 4, my * 4 + 4), slice(mx * 4, mx * 4 + 4))
+            m.ref[sl] = -1
+            m.ref1[sl] = -1
+            m.mv[sl] = 0
+            m.mv1[sl] = 0
+            m.refpic0[sl] = INTER.MotionGrids.NO_PIC
+            m.refpic1[sl] = INTER.MotionGrids.NO_PIC
+            m.done[sl] = 1
+            return s
+
+        if mb_type == 0:
+            s = INTER.apply_direct(g, m, my, mx, cur_slice, qp_prev, dctx,
+                                   False)
+            s.b_type = 0
+            self._parse_b_tail_cabac(my, mx, cur_slice, qp_prev, s,
+                                     sub8x8_ok=True)
+            return s
+
+        s = INTER.BMBSymbols()
+        s.mb_class = INTER.MB_B
+        s.b_type = mb_type
+        s.qp = qp_prev
+        g.mb_class[my, mx] = INTER.MB_B
+        g.slice_id[my, mx] = cur_slice
+        g.i4_modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+        by0, bx0 = my * 4, mx * 4
+        num_ref0 = hdr.num_ref_idx_active_l0
+        num_ref1 = hdr.num_ref_idx_active_l1
+
+        if mb_type == 22:     # B_8x8
+            sub = [self.b_sub_mbtype() for _ in range(4)]
+            s.sub_types = sub
+            parts = []
+            for b8 in range(4):
+                oy = by0 + (b8 // 2) * 2
+                ox = bx0 + (b8 % 2) * 2
+                if sub[b8] == 0:
+                    parts.append((oy, ox, 2, 2, "direct", b8))
+                    continue
+                (w4, h4), pred = INTER.B_SUB_TABLE[sub[b8]]
+                for py in range(0, 2, h4):
+                    for px in range(0, 2, w4):
+                        parts.append((oy + py, ox + px, w4, h4, pred, b8))
+            for b8 in range(4):
+                if sub[b8] == 0:
+                    oy = by0 + (b8 // 2) * 2
+                    ox = bx0 + (b8 % 2) * 2
+                    self.cs.direct_blk[oy:oy + 2, ox:ox + 2] = 1
+            refs0 = {}
+            refs1 = {}
+            for lst, refs, nr in ((0, refs0, num_ref0), (1, refs1, num_ref1)):
+                for b8 in range(4):
+                    use = sub[b8] != 0 and INTER.B_SUB_TABLE[sub[b8]][1] in (
+                        ("L0", "BI") if lst == 0 else ("L1", "BI"))
+                    if use and nr > 1:
+                        oy = by0 + (b8 // 2) * 2
+                        ox = bx0 + (b8 % 2) * 2
+                        ref = self.ref_idx(oy, ox, cur_slice, lst)
+                        refs[b8] = ref
+                        refg = m.ref if lst == 0 else m.ref1
+                        refg[oy:oy + 2, ox:ox + 2] = ref
+            mvds0 = {}
+            mvds1 = {}
+            for lst, mvds in ((0, mvds0), (1, mvds1)):
+                for p in parts:
+                    if p[4] in (("L0", "BI") if lst == 0 else ("L1", "BI")):
+                        mx_ = self.mvd(p[0], p[1], 0, cur_slice, lst)
+                        my_ = self.mvd(p[0], p[1], 1, cur_slice, lst)
+                        mvds[(p[0], p[1])] = (mx_, my_)
+                        self.cs.mvd[lst, p[0]:p[0] + p[3], p[1]:p[1] + p[2]] \
+                            = (mx_, my_)
+            INTER._apply_b_partitions(g, m, my, mx, cur_slice, s, parts,
+                                      refs0, refs1, mvds0, mvds1, dctx)
+            sub8_ok = all(t == 0 or INTER.B_SUB_TABLE[t][0] == (2, 2)
+                          for t in sub)
+        else:
+            shape = INTER.B_MB_TABLE[mb_type]
+            preds = shape[1:]
+            if shape[0] == "16x16":
+                parts = [(by0, bx0, 4, 4, preds[0], None)]
+            elif shape[0] == "16x8":
+                parts = [(by0, bx0, 4, 2, preds[0], None),
+                         (by0 + 2, bx0, 4, 2, preds[1], None)]
+            else:
+                parts = [(by0, bx0, 2, 4, preds[0], None),
+                         (by0, bx0 + 2, 2, 4, preds[1], None)]
+            refs0 = {}
+            refs1 = {}
+            for lst, refs, nr in ((0, refs0, num_ref0), (1, refs1, num_ref1)):
+                for i, p in enumerate(parts):
+                    if p[4] in (("L0", "BI") if lst == 0 else ("L1", "BI")) \
+                            and nr > 1:
+                        ref = self.ref_idx(p[0], p[1], cur_slice, lst)
+                        refs[i] = ref
+                        refg = m.ref if lst == 0 else m.ref1
+                        refg[p[0]:p[0] + p[3], p[1]:p[1] + p[2]] = ref
+            mvds0 = {}
+            mvds1 = {}
+            for lst, mvds in ((0, mvds0), (1, mvds1)):
+                for p in parts:
+                    if p[4] in (("L0", "BI") if lst == 0 else ("L1", "BI")):
+                        mx_ = self.mvd(p[0], p[1], 0, cur_slice, lst)
+                        my_ = self.mvd(p[0], p[1], 1, cur_slice, lst)
+                        mvds[(p[0], p[1])] = (mx_, my_)
+                        self.cs.mvd[lst, p[0]:p[0] + p[3], p[1]:p[1] + p[2]] \
+                            = (mx_, my_)
+            refs0 = {i: refs0.get(i, 0) for i in range(len(parts))}
+            refs1 = {i: refs1.get(i, 0) for i in range(len(parts))}
+            INTER._apply_b_mb_partitions(g, m, my, mx, cur_slice, s, parts,
+                                         refs0, refs1, mvds0, mvds1, dctx,
+                                         mb_type)
+            sub8_ok = True
+
+        self._parse_b_tail_cabac(my, mx, cur_slice, qp_prev, s,
+                                 sub8x8_ok=sub8_ok)
+        return s
+
+    def _parse_b_tail_cabac(self, my, mx, cur_slice, qp_prev, s,
+                            sub8x8_ok) -> None:
+        g = self.g
+        s.cbp_luma, s.cbp_chroma = self.coded_block_pattern(my, mx, cur_slice)
+        if self.pps.transform_8x8_mode_flag and s.cbp_luma and (
+                sub8x8_ok or s.is_direct):
+            if self.transform_8x8_flag(my, mx, cur_slice):
+                s.transform8x8 = 1
+                g.t8[my, mx] = 1
+        if s.cbp_luma or s.cbp_chroma:
+            dq = self.mb_qp_delta()
+            s.qp = (qp_prev + dq + 52) % 52
+        else:
+            self.prev_dqp_nz = 0
+            s.qp = qp_prev
+        g.qp[my, mx] = s.qp
+        self.parse_residual(my, mx, cur_slice, s)
+        self.record_mb(my, mx, s)
 
     def end_of_slice(self) -> int:
         return self.e.terminate()

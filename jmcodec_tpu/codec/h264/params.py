@@ -49,6 +49,9 @@ class SPS:
     crop_top: int = 0
     crop_bottom: int = 0
     vui_parameters_present_flag: int = 0
+    # from VUI bitstream_restriction (None = not signalled)
+    num_reorder_frames: Optional[int] = None
+    max_dec_frame_buffering: Optional[int] = None
 
     @property
     def width(self) -> int:
@@ -139,10 +142,62 @@ def parse_sps(rbsp: bytes) -> SPS:
         s.crop_top = r.ue()
         s.crop_bottom = r.ue()
     s.vui_parameters_present_flag = r.flag()
-    # VUI ignored for decode purposes.
+    if s.vui_parameters_present_flag:
+        try:
+            _parse_vui(r, s)
+        except EOFError:
+            pass  # tolerate truncated/odd VUI; defaults stand
     if s.chroma_format_idc != 1 or s.bit_depth_luma != 8 or s.bit_depth_chroma != 8:
         raise NotImplementedError("only 4:2:0 8-bit supported")
     return s
+
+
+def _parse_hrd(r: BitReader) -> None:
+    cpb_cnt = r.ue() + 1
+    r.u(4)  # bit_rate_scale
+    r.u(4)  # cpb_size_scale
+    for _ in range(cpb_cnt):
+        r.ue()
+        r.ue()
+        r.flag()
+    r.u(20)  # the four 5-bit delay length fields
+
+
+def _parse_vui(r: BitReader, s: SPS) -> None:
+    """VUI (Annex E): skip-parse, extracting the display-reorder bound the
+    DPB output stage needs (analog of ulMaxDisplayDelay, nv_dec.cpp:341)."""
+    if r.flag():                      # aspect_ratio_info
+        if r.u(8) == 255:             # Extended_SAR
+            r.u(32)
+    if r.flag():                      # overscan_info
+        r.flag()
+    if r.flag():                      # video_signal_type
+        r.u(4)                        # format(3) + full_range(1)
+        if r.flag():                  # colour_description
+            r.u(24)
+    if r.flag():                      # chroma_loc_info
+        r.ue()
+        r.ue()
+    if r.flag():                      # timing_info
+        r.u(64)
+        r.flag()
+    nal_hrd = r.flag()
+    if nal_hrd:
+        _parse_hrd(r)
+    vcl_hrd = r.flag()
+    if vcl_hrd:
+        _parse_hrd(r)
+    if nal_hrd or vcl_hrd:
+        r.flag()                      # low_delay_hrd
+    r.flag()                          # pic_struct_present
+    if r.flag():                      # bitstream_restriction
+        r.flag()                      # motion_vectors_over_pic_boundaries
+        r.ue()
+        r.ue()
+        r.ue()
+        r.ue()
+        s.num_reorder_frames = r.ue()
+        s.max_dec_frame_buffering = r.ue()
 
 
 def write_sps(s: SPS) -> bytes:

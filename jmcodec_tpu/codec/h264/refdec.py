@@ -24,7 +24,7 @@ from . import inter as INTER
 from . import macroblock as MB
 from . import nal
 from .params import PPS, SPS, parse_pps, parse_sps
-from .slicehdr import SLICE_I, SLICE_P, parse_slice_header
+from .slicehdr import SLICE_B, SLICE_I, SLICE_P, parse_slice_header
 from .symbols import (MBCLASS_I4x4, MBCLASS_I16x16, MBCLASS_IPCM,
                       FrameSymbols)
 
@@ -170,11 +170,23 @@ class DecodedFrame:
 
 @dataclass
 class RefPicture:
-    """One DPB entry: deblocked planes + lazily padded MC references."""
+    """One DPB entry: deblocked planes + lazily padded MC references, plus
+    POC and motion state (needed for B ref lists, spatial direct colZero and
+    implicit weighted prediction)."""
     frame_num: int
     Y: np.ndarray
     U: np.ndarray
     V: np.ndarray
+    poc: int = 0
+    # motion of this picture's own decode (None for intra-only pictures)
+    mot_ref0: Optional[np.ndarray] = None
+    mot_mv0: Optional[np.ndarray] = None
+    mot_ref1: Optional[np.ndarray] = None
+    mot_mv1: Optional[np.ndarray] = None
+    # POC identity of the pictures each block referenced (temporal direct)
+    mot_refpic0: Optional[np.ndarray] = None
+    mot_refpic1: Optional[np.ndarray] = None
+    own_l0_poc0: int = 0   # POC of this picture's own RefPicList0[0]
     _padded: Optional[Tuple[np.ndarray, ...]] = None
 
     def padded(self):
@@ -207,18 +219,102 @@ class DPB:
             return (cur_frame_num - r.frame_num) % max_frame_num
         return sorted(self.refs, key=dist)
 
+    def b_lists(self, cur_poc: int):
+        """B default ref lists by POC (8.2.4.2.3): list0 = past(desc POC) +
+        future(asc); list1 = future(asc) + past(desc); if identical and >1
+        entry, swap list1's first two."""
+        past = sorted([r for r in self.refs if r.poc <= cur_poc],
+                      key=lambda r: -r.poc)
+        future = sorted([r for r in self.refs if r.poc > cur_poc],
+                        key=lambda r: r.poc)
+        l0 = past + future
+        l1 = future + past
+        if len(l1) > 1 and l0 == l1:
+            l1 = [l1[1], l1[0]] + l1[2:]
+        return l0, l1
+
 
 class H264ReferenceDecoder:
-    """Stateful Annex-B decoder (Baseline/Main progressive, CAVLC)."""
+    """Stateful Annex-B decoder (Baseline/Main/High progressive).
+
+    decode_annexb emits frames in DISPLAY order: decoded pictures sit in a
+    bounded reorder buffer (depth = VUI num_reorder_frames when signalled,
+    else a safe default) and are bumped lowest-POC-first — the display-order
+    queue the reference got from the vendor parser's display callback
+    (nv_dec/nv_dec.cpp:44-52,113-186). Call flush() at end of stream."""
 
     def __init__(self):
         self.sps: Dict[int, SPS] = {}
         self.pps: Dict[int, PPS] = {}
         self.frames: List[DecodedFrame] = []
         self.dpb = DPB()
+        # POC state (8.2.1)
+        self._prev_poc_msb = 0
+        self._prev_poc_lsb = 0
+        self._prev_frame_num = 0
+        self._frame_num_offset = 0
+        # display reorder
+        self._pending: List[DecodedFrame] = []
+
+    def _compute_poc(self, hdr, sps: SPS) -> int:
+        if sps.pic_order_cnt_type == 0:
+            max_lsb = 1 << sps.log2_max_pic_order_cnt_lsb
+            if hdr.is_idr:
+                self._prev_poc_msb = 0
+                self._prev_poc_lsb = 0
+            lsb = hdr.pic_order_cnt_lsb
+            if lsb < self._prev_poc_lsb and \
+                    self._prev_poc_lsb - lsb >= max_lsb // 2:
+                msb = self._prev_poc_msb + max_lsb
+            elif lsb > self._prev_poc_lsb and \
+                    lsb - self._prev_poc_lsb > max_lsb // 2:
+                msb = self._prev_poc_msb - max_lsb
+            else:
+                msb = self._prev_poc_msb
+            if hdr.nal_ref_idc:
+                self._prev_poc_msb = msb
+                self._prev_poc_lsb = lsb
+            return msb + lsb
+        if sps.pic_order_cnt_type == 2:
+            max_fn = 1 << sps.log2_max_frame_num
+            if hdr.is_idr:
+                self._frame_num_offset = 0
+            elif self._prev_frame_num > hdr.frame_num:
+                self._frame_num_offset += max_fn
+            self._prev_frame_num = hdr.frame_num
+            n = self._frame_num_offset + hdr.frame_num
+            return 2 * n if hdr.nal_ref_idc else 2 * n - 1
+        raise NotImplementedError("pic_order_cnt_type 1")
+
+    def _reorder_depth(self, sps: SPS) -> int:
+        if sps.num_reorder_frames is not None:
+            return sps.num_reorder_frames
+        if sps.pic_order_cnt_type == 2:
+            return 0   # poc type 2 forbids reordering by construction
+        return max(1, sps.max_num_ref_frames)
+
+    def _emit(self, frame: DecodedFrame, sps: SPS,
+              out: List[DecodedFrame]) -> None:
+        if frame.is_idr and self._pending:
+            self._pending.sort(key=lambda f: f.poc)
+            out.extend(self._pending)
+            self._pending = []
+        self._pending.append(frame)
+        depth = self._reorder_depth(sps)
+        while len(self._pending) > depth:
+            i = min(range(len(self._pending)),
+                    key=lambda k: self._pending[k].poc)
+            out.append(self._pending.pop(i))
+
+    def flush(self) -> List[DecodedFrame]:
+        """Drain the reorder buffer (end of stream)."""
+        self._pending.sort(key=lambda f: f.poc)
+        out, self._pending = self._pending, []
+        self.frames.extend(out)
+        return out
 
     def decode_annexb(self, data: bytes) -> List[DecodedFrame]:
-        out = []
+        out: List[DecodedFrame] = []
         slices = []
         for u in nal.parse_nal_units(data):
             if u.nal_unit_type == nal.NAL_SPS:
@@ -242,7 +338,8 @@ class H264ReferenceDecoder:
         if cur:
             pics.append(cur)
         for pic in pics:
-            out.append(self.decode_picture(pic))
+            frame, sps = self.decode_picture(pic)
+            self._emit(frame, sps, out)
         self.frames.extend(out)
         return out
 
@@ -266,7 +363,10 @@ class H264ReferenceDecoder:
         if h0.is_idr:
             self.dpb.clear()
         self.dpb.max_refs = max(1, sps.max_num_ref_frames)
+        cur_poc = self._compute_poc(h0, sps)
         ref_list = self.dpb.list0(h0.frame_num, 1 << sps.log2_max_frame_num)
+        bl0, bl1 = self.dpb.b_lists(cur_poc)
+        has_b = False
 
         cstate = None
         if pps.entropy_coding_mode_flag:
@@ -276,23 +376,59 @@ class H264ReferenceDecoder:
             hdr, r = parse_slice_header(u.rbsp, sps, pps, u.nal_unit_type,
                                         u.nal_ref_idc)
             refs = []
+            bctx = None
+            max_fn = 1 << sps.log2_max_frame_num
             if hdr.slice_type == SLICE_P:
                 has_inter = True
-                refs = ref_list[:hdr.num_ref_idx_active_l0]
+                refs = self._modified_list(ref_list, hdr.ref_mods_l0,
+                                           h0.frame_num, max_fn,
+                                           hdr.num_ref_idx_active_l0)
                 if not refs:
                     raise ValueError("P slice with empty reference list")
-            elif hdr.slice_type != SLICE_I:
-                raise NotImplementedError("B slices land in a later round")
+            elif hdr.slice_type == SLICE_B:
+                has_inter = True
+                has_b = True
+                l0 = self._modified_list(bl0, hdr.ref_mods_l0, h0.frame_num,
+                                         max_fn, hdr.num_ref_idx_active_l0)
+                l1 = self._modified_list(bl1, hdr.ref_mods_l1, h0.frame_num,
+                                         max_fn, hdr.num_ref_idx_active_l1)
+                if not l0 or not l1:
+                    raise ValueError("B slice with empty reference list")
+                col = l1[0]
+                col_motion = None
+                col_refpic = None
+                if col.mot_ref0 is not None:
+                    col_motion = (col.mot_ref0, col.mot_mv0,
+                                  col.mot_ref1, col.mot_mv1)
+                    col_refpic = (col.mot_refpic0, col.mot_refpic1)
+                bctx = (l0, l1, INTER.DirectCtx(
+                    spatial=bool(hdr.direct_spatial_mv_pred_flag),
+                    col_motion=col_motion, col_refpic=col_refpic,
+                    col_intra_refpoc=col.own_l0_poc0, cur_poc=cur_poc,
+                    l0_pocs=np.array([x.poc for x in l0], np.int32),
+                    l1_pocs=np.array([x.poc for x in l1], np.int32)))
             if pps.entropy_coding_mode_flag:
                 self._decode_slice_data_cabac(u.rbsp, r.pos, hdr, sps, pps,
                                               g, m, Y, U, V, slice_idx, refs,
-                                              fs, cstate)
+                                              fs, cstate, bctx, cur_poc)
             elif hdr.slice_type == SLICE_I:
                 self._decode_slice_data(r, hdr, sps, pps, g, Y, U, V,
                                         slice_idx, fs)
-            else:
+            elif hdr.slice_type == SLICE_P:
                 self._decode_p_slice_data(r, hdr, sps, pps, g, m, Y, U, V,
                                           slice_idx, refs, fs)
+            else:
+                self._decode_b_slice_data(r, hdr, sps, pps, g, m, Y, U, V,
+                                          slice_idx, bctx, cur_poc, fs)
+            if hdr.slice_type == SLICE_P:
+                # reference identity for deblock bS + temporal direct of
+                # later pictures: per-slice (list mods make indices
+                # slice-local)
+                pocs = np.array([x.poc for x in refs] + [0], np.int32)
+                blk_in_slice = np.repeat(np.repeat(
+                    g.slice_id == slice_idx, 4, 0), 4, 1)
+                mask = (m.ref >= 0) & blk_in_slice
+                m.refpic0[mask] = pocs[m.ref[mask]]
             deblock_params.append(hdr)
 
         if len(deblock_params) > 1:
@@ -327,7 +463,7 @@ class H264ReferenceDecoder:
                                    else pps.chroma_qp_index_offset)
         if fs.deblock_enabled:
             if has_inter:
-                bs_v, bs_h = compute_bs(g, m)
+                bs_v, bs_h = compute_bs(g, m, b_aware=has_b)
             else:
                 bs_v, bs_h = DB.intra_frame_bs(mbh, mbw)
             if g.t8.any():
@@ -339,11 +475,32 @@ class H264ReferenceDecoder:
         frame = DecodedFrame(
             Y=Y.astype(np.uint8), U=U.astype(np.uint8), V=V.astype(np.uint8),
             frame_num=hdr.frame_num, is_idr=hdr.is_idr, qp_mb=g.qp.copy(),
-            pre_deblock=pre, symbols=fs)
+            pre_deblock=pre, symbols=fs, poc=cur_poc)
         if units[0].nal_ref_idc != 0:
-            self.dpb.add(RefPicture(hdr.frame_num, Y.copy(), U.copy(),
-                                    V.copy()))
-        return frame
+            for (op, v1, v2) in h0.mmco_ops:
+                if op == 1:
+                    # mark short-term picture unused (8.2.5.4.1); PicNum of
+                    # a stored frame wraps below CurrPicNum (= frame_num)
+                    pic_num_x = h0.frame_num - (v1 + 1)
+                    max_fn = 1 << sps.log2_max_frame_num
+                    self.dpb.refs = [
+                        p for p in self.dpb.refs
+                        if (p.frame_num - max_fn
+                            if p.frame_num > h0.frame_num
+                            else p.frame_num) != pic_num_x]
+                else:
+                    raise NotImplementedError(f"MMCO op {op}")
+            own_l0 = (bl0 if has_b else ref_list)
+            self.dpb.add(RefPicture(
+                hdr.frame_num, Y.copy(), U.copy(), V.copy(), poc=cur_poc,
+                mot_ref0=m.ref.copy() if has_inter else None,
+                mot_mv0=m.mv.copy() if has_inter else None,
+                mot_ref1=m.ref1.copy() if has_inter else None,
+                mot_mv1=m.mv1.copy() if has_inter else None,
+                mot_refpic0=m.refpic0.copy() if has_inter else None,
+                mot_refpic1=m.refpic1.copy() if has_inter else None,
+                own_l0_poc0=own_l0[0].poc if own_l0 else 0))
+        return frame, sps
 
     def _sps_for(self, u: nal.NalUnit) -> SPS:
         # slice header parsing needs sps/pps; peek pps id quickly
@@ -380,25 +537,124 @@ class H264ReferenceDecoder:
             if not r.more_rbsp_data():
                 break
 
+    def _modified_list(self, default, ops, cur_frame_num: int, max_fn: int,
+                       num_active: int):
+        """Apply ref_pic_list_modification (8.2.4.3.1, short-term only) and
+        trim to num_ref_idx_active."""
+        lst = list(default)
+        if ops:
+            idx = 0
+            pred = cur_frame_num
+            for idc, val in ops:
+                if idc == 2:
+                    raise NotImplementedError("long-term ref modification")
+                if idc == 0:
+                    nw = pred - (val + 1)
+                    if nw < 0:
+                        nw += max_fn
+                else:
+                    nw = pred + (val + 1)
+                    if nw >= max_fn:
+                        nw -= max_fn
+                pred = nw
+                pic_num = nw - max_fn if nw > cur_frame_num else nw
+                pic = None
+                for p in self.dpb.refs:
+                    pn = p.frame_num - max_fn \
+                        if p.frame_num > cur_frame_num else p.frame_num
+                    if pn == pic_num:
+                        pic = p
+                        break
+                if pic is None:
+                    raise ValueError("ref modification: picture not in DPB")
+                lst.insert(idx, pic)
+                idx += 1
+                for i in range(idx, len(lst)):
+                    if lst[i] is pic:
+                        del lst[i]
+                        break
+        return lst[:num_active]
+
+    def _decode_b_slice_data(self, r: BitReader, hdr, sps: SPS, pps: PPS,
+                             g: MB.MBGrids, m: INTER.MotionGrids,
+                             Y, U, V, slice_idx: int, bctx, cur_poc: int,
+                             fs: Optional[FrameSymbols] = None) -> None:
+        """B slice_data, CAVLC (7.3.4 with B_Skip runs)."""
+        l0, l1, direct_ctx = bctx
+        mbw = sps.mb_width
+        n_mbs = mbw * sps.mb_height
+        qp = pps.pic_init_qp + hdr.slice_qp_delta
+        addr = hdr.first_mb_in_slice
+        wbp = pps.weighted_bipred_idc
+        while True:
+            skip_run = r.ue()
+            for _ in range(skip_run):
+                if addr >= n_mbs:
+                    raise ValueError("skip run past end of picture")
+                my, mx = divmod(addr, mbw)
+                s = INTER.apply_direct(g, m, my, mx, slice_idx, qp,
+                                       direct_ctx, True)
+                reconstruct_b_mb(Y, U, V, g, my, mx, slice_idx, s, l0, l1,
+                                 pps, cur_poc, wbp)
+                if fs is not None:
+                    fill_mb_symbols(fs, my, mx, s, motion=m)
+                addr += 1
+            if not r.more_rbsp_data():
+                break
+            my, mx = divmod(addr, mbw)
+            mb_type = r.ue()
+            s = INTER.parse_b_macroblock(r, g, m, my, mx, slice_idx, qp,
+                                         mb_type,
+                                         hdr.num_ref_idx_active_l0,
+                                         hdr.num_ref_idx_active_l1,
+                                         direct_ctx,
+                                         bool(pps.transform_8x8_mode_flag))
+            qp = s.qp
+            if s.mb_class == INTER.MB_B:
+                reconstruct_b_mb(Y, U, V, g, my, mx, slice_idx, s, l0, l1,
+                                 pps, cur_poc, wbp)
+            else:
+                reconstruct_intra_mb(Y, U, V, g, my, mx, slice_idx, s, pps)
+            if fs is not None:
+                fill_mb_symbols(fs, my, mx, s,
+                                motion=m if s.mb_class == INTER.MB_B else None)
+            addr += 1
+            if not r.more_rbsp_data():
+                break
+
     def _decode_slice_data_cabac(self, rbsp: bytes, bit_pos: int, hdr,
                                  sps: SPS, pps: PPS, g: MB.MBGrids,
                                  m: "INTER.MotionGrids", Y, U, V,
-                                 slice_idx: int, refs, fs, cstate) -> None:
+                                 slice_idx: int, refs, fs, cstate,
+                                 bctx=None, cur_poc: int = 0) -> None:
         """CABAC slice_data (7.3.4 ae(v) branch): per-MB mb_skip_flag (P),
         macroblock layer, end_of_slice_flag."""
         from .cabac import CabacSliceDecoder
-        cd = CabacSliceDecoder(rbsp, bit_pos, hdr, sps, pps, g, m, cstate)
+        cd = CabacSliceDecoder(rbsp, bit_pos, hdr, sps, pps, g, m, cstate,
+                               bctx=bctx)
         mbw = sps.mb_width
         n_mbs = mbw * sps.mb_height
         qp = pps.pic_init_qp + hdr.slice_qp_delta
         addr = hdr.first_mb_in_slice
         is_p = hdr.slice_type == SLICE_P
+        is_b = hdr.slice_type == SLICE_B
+        if is_b:
+            l0, l1, direct_ctx = bctx
+            wbp = pps.weighted_bipred_idc
         while True:
             if addr >= n_mbs:
                 raise ValueError("MB address out of range")
             my, mx = divmod(addr, mbw)
-            if is_p and cd.mb_skip_flag(my, mx, slice_idx):
-                s = cd.apply_skip(my, mx, slice_idx, qp)
+            if (is_p or is_b) and cd.mb_skip_flag(my, mx, slice_idx,
+                                                  base=24 if is_b else 11):
+                if is_b:
+                    s = cd.apply_b_skip(my, mx, slice_idx, qp)
+                else:
+                    s = cd.apply_skip(my, mx, slice_idx, qp)
+            elif is_b:
+                s = cd.parse_b_mb_body(my, mx, slice_idx, qp, cd.b_mbtype(
+                    my, mx, slice_idx))
+                qp = s.qp
             elif is_p:
                 s = cd.parse_p_mb_body(my, mx, slice_idx, qp, cd.p_mbtype())
                 qp = s.qp
@@ -406,14 +662,19 @@ class H264ReferenceDecoder:
                 s = cd.parse_intra_mb_body(my, mx, slice_idx, qp,
                                            cd.i_mbtype(my, mx, slice_idx))
                 qp = s.qp
-            if s.mb_class == INTER.MB_P:
+            if s.mb_class == INTER.MB_B:
+                reconstruct_b_mb(Y, U, V, g, my, mx, slice_idx, s, l0, l1,
+                                 pps, cur_poc, wbp)
+            elif s.mb_class == INTER.MB_P:
                 reconstruct_inter_mb(Y, U, V, g, my, mx, slice_idx, s, refs,
                                      pps)
             else:
                 reconstruct_intra_mb(Y, U, V, g, my, mx, slice_idx, s, pps)
             if fs is not None:
                 fill_mb_symbols(fs, my, mx, s,
-                                motion=m if s.mb_class == INTER.MB_P else None)
+                                motion=m if s.mb_class in (INTER.MB_P,
+                                                           INTER.MB_B)
+                                else None)
             addr += 1
             if cd.end_of_slice():
                 break
@@ -467,6 +728,12 @@ def fill_mb_symbols(fs: FrameSymbols, my: int, mx: int, s: MB.MBSymbols,
         # 8x8 residuals have no dense-plane form yet; flag the frame so the
         # device path defers to host recon
         fs.has_t8 = True
+    if s.mb_class == INTER.MB_B:
+        # bipred/two-list motion has no dense-plane form yet (device B recon
+        # is a later milestone); record the class + flag and stop
+        fs.mb_class[my, mx] = 4
+        fs.has_b = True
+        return
     if s.mb_class == INTER.MB_P:
         fs.mb_class[my, mx] = 3
         if fs.mv is None:
@@ -585,13 +852,122 @@ def reconstruct_inter_mb(Y, U, V, g: MB.MBGrids, my: int, mx: int,
         plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = np.clip(pred + res, 0, 255)
 
 
-def compute_bs(g: MB.MBGrids, m: INTER.MotionGrids):
+def _cdiv(a: int, b: int) -> int:
+    """C-style integer division (truncate toward zero)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def implicit_weights(cur_poc: int, poc0: int, poc1: int):
+    """Implicit weighted bipred factors (8.4.2.3.1, weighted_bipred_idc==2).
+    Returns (w0, w1) with logWD=5 semantics: pred=(p0*w0+p1*w1+32)>>6."""
+    if poc0 == poc1:
+        return 32, 32
+    tb = max(-128, min(127, cur_poc - poc0))
+    td = max(-128, min(127, poc1 - poc0))
+    tx = _cdiv(16384 + abs(td) // 2, td)
+    dsf = max(-1024, min(1023, (tb * tx + 32) >> 6))
+    w1 = dsf >> 2
+    if w1 < -64 or w1 > 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
+def _mc_part(part, refpic, use_l1: bool):
+    """Motion-compensate one partition from one reference picture; returns
+    (Yblk, Ublk, Vblk)."""
+    pY, pU, pV = refpic.padded()
+    mv = part.mv1 if use_l1 else part.mv
+    lx, ly = part.bx * 4, part.by * 4
+    w, h = part.w4 * 4, part.h4 * 4
+    yb = MC.mc_luma_block(pY, lx, ly, int(mv[0]), int(mv[1]), w, h)
+    cx, cy, cw, ch = part.bx * 2, part.by * 2, part.w4 * 2, part.h4 * 2
+    ub = MC.mc_chroma_block(pU, cx, cy, int(mv[0]), int(mv[1]), cw, ch)
+    vb = MC.mc_chroma_block(pV, cx, cy, int(mv[0]), int(mv[1]), cw, ch)
+    return yb, ub, vb
+
+
+def reconstruct_b_mb(Y, U, V, g: MB.MBGrids, my: int, mx: int,
+                     cur_slice: int, s, list0, list1, pps: PPS,
+                     cur_poc: int, weighted_bipred_idc: int) -> None:
+    """Reconstruct one B macroblock: per-partition uni/bi prediction (with
+    implicit weighting when configured) + shared residual path."""
+    x0, y0 = mx * 16, my * 16
+    predY = np.zeros((16, 16), np.int32)
+    predU = np.zeros((8, 8), np.int32)
+    predV = np.zeros((8, 8), np.int32)
+    for part in s.partitions:
+        use0 = part.ref_idx >= 0
+        use1 = part.ref_idx1 >= 0
+        if use0:
+            y0b, u0b, v0b = _mc_part(part, list0[part.ref_idx], False)
+        if use1:
+            y1b, u1b, v1b = _mc_part(part, list1[part.ref_idx1], True)
+        if use0 and use1:
+            if weighted_bipred_idc == 2:
+                w0, w1 = implicit_weights(cur_poc, list0[part.ref_idx].poc,
+                                          list1[part.ref_idx1].poc)
+                yb = np.clip((y0b * w0 + y1b * w1 + 32) >> 6, 0, 255)
+                ub = np.clip((u0b * w0 + u1b * w1 + 32) >> 6, 0, 255)
+                vb = np.clip((v0b * w0 + v1b * w1 + 32) >> 6, 0, 255)
+            elif weighted_bipred_idc == 0:
+                yb = (y0b + y1b + 1) >> 1
+                ub = (u0b + u1b + 1) >> 1
+                vb = (v0b + v1b + 1) >> 1
+            else:
+                raise NotImplementedError("explicit weighted bipred")
+        elif use0:
+            yb, ub, vb = y0b, u0b, v0b
+        else:
+            yb, ub, vb = y1b, u1b, v1b
+        ly, lx = part.by * 4 - y0, part.bx * 4 - x0
+        predY[ly:ly + part.h4 * 4, lx:lx + part.w4 * 4] = yb
+        cy, cx = part.by * 2 - my * 8, part.bx * 2 - mx * 8
+        predU[cy:cy + part.h4 * 2, cx:cx + part.w4 * 2] = ub
+        predV[cy:cy + part.h4 * 2, cx:cx + part.w4 * 2] = vb
+
+    qp = s.qp
+    mbres = np.zeros((16, 16), np.int32)
+    if s.cbp_luma and s.transform8x8:
+        for b8 in range(4):
+            if s.cbp_luma & (1 << b8):
+                x8, y8 = (b8 & 1) * 8, (b8 >> 1) * 8
+                d = T.np_dequant_8x8(scan8x8_to_raster(s.luma8x8[b8]), qp)
+                mbres[y8:y8 + 8, x8:x8 + 8] = T.np_inverse_transform_8x8(d)
+    elif s.cbp_luma:
+        for i in range(16):
+            if s.cbp_luma & (1 << (i >> 2)):
+                bx4, by4 = int(MB.BLK_X[i]), int(MB.BLK_Y[i])
+                blk = scan_to_raster4x4(s.luma_ac[i])
+                d = T.np_dequant_4x4(blk, qp)
+                mbres[by4:by4 + 4, bx4:bx4 + 4] = T.np_inverse_transform_4x4(d)
+    Y[y0:y0 + 16, x0:x0 + 16] = np.clip(predY + mbres, 0, 255)
+
+    for comp, (plane, pred) in ((0, (U, predU)), (1, (V, predV))):
+        qpc = int(T.chroma_qp(qp, pps.chroma_qp_offset(comp)))
+        res = np.zeros((8, 8), np.int32)
+        if s.cbp_chroma:
+            dc2 = np.asarray(s.chroma_dc[comp], np.int32).reshape(2, 2)
+            dc_vals = T.np_chroma_dc_decode(dc2, qpc)
+            for i in range(4):
+                bx4, by4 = int(MB.CBLK_X[i]), int(MB.CBLK_Y[i])
+                ac = scan_to_raster4x4(list(s.chroma_ac[comp][i]), dc=0)
+                d = T.np_dequant_4x4(ac, qpc)
+                d[0, 0] = dc_vals[by4 // 4, bx4 // 4]
+                res[by4:by4 + 4, bx4:bx4 + 4] = T.np_inverse_transform_4x4(d)
+        plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = np.clip(pred + res,
+                                                              0, 255)
+
+
+def compute_bs(g: MB.MBGrids, m: INTER.MotionGrids, b_aware: bool = False):
     """Boundary strengths for a frame with inter MBs (spec 8.7.2.1).
 
     Vectorized over the 4x4 grid: intra rules first, then coefficients, then
-    motion differences."""
+    motion differences. With b_aware, reference comparison is by PICTURE
+    (refpic grids) over both lists, handling swapped-list equivalence."""
     gh, gw = g.nz_luma.shape
-    mb_intra = (g.mb_class >= 0) & (g.mb_class != INTER.MB_P)
+    mb_intra = (g.mb_class >= 0) & (g.mb_class != INTER.MB_P) & \
+        (g.mb_class != INTER.MB_B)
     blk_intra = np.repeat(np.repeat(mb_intra, 4, 0), 4, 1)
     nzc = np.maximum(g.nz_luma, 0)
     if g.t8.any():
@@ -603,14 +979,51 @@ def compute_bs(g: MB.MBGrids, m: INTER.MotionGrids):
         nzc = np.where(t8blk, rep, nzc)
     nz = nzc > 0
 
+    def motion_differs(p_sl, q_sl):
+        if not b_aware:
+            mvd = (np.abs(m.mv[p_sl][..., 0] - m.mv[q_sl][..., 0]) >= 4) | \
+                  (np.abs(m.mv[p_sl][..., 1] - m.mv[q_sl][..., 1]) >= 4)
+            refd = m.ref[p_sl] != m.ref[q_sl]
+            return mvd | refd
+        # B-aware: per block, used refs = {refpic0?, refpic1?}; compare as
+        # picture sets, then mv per matched picture (either pairing when the
+        # same picture is used twice)
+        rp0, rp1 = m.refpic0[p_sl], m.refpic1[p_sl]
+        rq0, rq1 = m.refpic0[q_sl], m.refpic1[q_sl]
+        np0 = (rp0 != INTER.MotionGrids.NO_PIC).astype(np.int32) + \
+              (rp1 != INTER.MotionGrids.NO_PIC).astype(np.int32)
+        nq0 = (rq0 != INTER.MotionGrids.NO_PIC).astype(np.int32) + \
+              (rq1 != INTER.MotionGrids.NO_PIC).astype(np.int32)
+        count_diff = np0 != nq0
+        # unordered set equality over (rp0, rp1) vs (rq0, rq1)
+        same_straight = (rp0 == rq0) & (rp1 == rq1)
+        same_cross = (rp0 == rq1) & (rp1 == rq0)
+        set_diff = ~(same_straight | same_cross)
+
+        mvp0, mvp1 = m.mv[p_sl], m.mv1[p_sl]
+        mvq0, mvq1 = m.mv[q_sl], m.mv1[q_sl]
+
+        def pair_far(a, b, used):
+            d = (np.abs(a[..., 0] - b[..., 0]) >= 4) | \
+                (np.abs(a[..., 1] - b[..., 1]) >= 4)
+            return d & used
+        u0 = rp0 != INTER.MotionGrids.NO_PIC
+        u1 = rp1 != INTER.MotionGrids.NO_PIC
+        far_straight = pair_far(mvp0, mvq0, u0) | pair_far(mvp1, mvq1, u1)
+        far_cross = pair_far(mvp0, mvq1, u0) | pair_far(mvp1, mvq0, u1)
+        # spec: when both straight and cross picture-assignments are valid
+        # (same picture twice), bS 1 only if BOTH pairings have a far mv
+        mv_far = np.where(same_straight & same_cross,
+                          far_straight & far_cross,
+                          np.where(same_straight, far_straight, far_cross))
+        return count_diff | set_diff | mv_far
+
     def edge_bs(p_sl, q_sl, mb_edge):
         intra_either = blk_intra[p_sl] | blk_intra[q_sl]
         bs = np.where(intra_either, np.where(mb_edge, 4, 3), 0)
         coeff = nz[p_sl] | nz[q_sl]
-        mvd = (np.abs(m.mv[p_sl][..., 0] - m.mv[q_sl][..., 0]) >= 4) | \
-              (np.abs(m.mv[p_sl][..., 1] - m.mv[q_sl][..., 1]) >= 4)
-        refd = m.ref[p_sl] != m.ref[q_sl]
-        inter_bs = np.where(coeff, 2, np.where(mvd | refd, 1, 0))
+        inter_bs = np.where(coeff, 2,
+                            np.where(motion_differs(p_sl, q_sl), 1, 0))
         return np.where(intra_either, bs, inter_bs)
 
     bs_v = np.zeros((gh, gw), np.int32)

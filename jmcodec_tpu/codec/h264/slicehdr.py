@@ -9,8 +9,8 @@ frameIntervalP: nv_enc/nv_enc.cpp:527-528).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Optional
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
 
 from ...utils.bits import BitReader, BitWriter
 from .params import PPS, SPS
@@ -41,6 +41,11 @@ class SliceHeader:
     slice_alpha_c0_offset_div2: int = 0
     slice_beta_offset_div2: int = 0
     direct_spatial_mv_pred_flag: int = 1
+    # ref_pic_list_modification ops: (idc, value) lists per list
+    ref_mods_l0: List[Tuple[int, int]] = field(default_factory=list)
+    ref_mods_l1: List[Tuple[int, int]] = field(default_factory=list)
+    # MMCO ops: (op, val1, val2)
+    mmco_ops: List[Tuple[int, int, int]] = field(default_factory=list)
     # derived / context
     is_idr: bool = False
     nal_ref_idc: int = 1
@@ -51,6 +56,19 @@ class SliceHeader:
 
     def qp(self, pps: PPS) -> int:
         return pps.pic_init_qp + self.slice_qp_delta
+
+
+def _parse_ref_mods(r: BitReader):
+    ops = []
+    while True:
+        idc = r.ue()
+        if idc == 3:
+            return ops
+        if idc > 3:
+            raise ValueError("bad modification_of_pic_nums_idc")
+        ops.append((idc, r.ue()))
+        if len(ops) > 64:
+            raise ValueError("ref list modification runaway")
 
 
 def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS, nal_unit_type: int,
@@ -92,11 +110,11 @@ def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS, nal_unit_type: int,
         else:
             h.num_ref_idx_active_l0 = pps.num_ref_idx_l0_default_active
             h.num_ref_idx_active_l1 = pps.num_ref_idx_l1_default_active
-        # ref_pic_list_modification
+        # ref_pic_list_modification (7.3.3.1)
         if r.flag():  # ref_pic_list_modification_flag_l0
-            raise NotImplementedError("ref list modification")
+            h.ref_mods_l0 = _parse_ref_mods(r)
         if h.slice_type == SLICE_B and r.flag():
-            raise NotImplementedError("ref list modification l1")
+            h.ref_mods_l1 = _parse_ref_mods(r)
     if (pps.weighted_pred_flag and h.slice_type == SLICE_P) or (
             pps.weighted_bipred_idc == 1 and h.slice_type == SLICE_B):
         raise NotImplementedError("explicit weighted prediction")
@@ -108,7 +126,21 @@ def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS, nal_unit_type: int,
         else:
             h.adaptive_ref_pic_marking_mode_flag = r.flag()
             if h.adaptive_ref_pic_marking_mode_flag:
-                raise NotImplementedError("MMCO")
+                # dec_ref_pic_marking MMCO ops (7.3.3.3)
+                while True:
+                    op = r.ue()
+                    if op == 0:
+                        break
+                    if op > 6:
+                        raise ValueError("bad MMCO op")
+                    v1 = v2 = 0
+                    if op in (1, 2, 3, 4):
+                        v1 = r.ue()
+                    if op in (3, 6):
+                        v2 = r.ue()
+                    h.mmco_ops.append((op, v1, v2))
+                    if len(h.mmco_ops) > 64:
+                        raise ValueError("MMCO runaway")
     if pps.entropy_coding_mode_flag and h.slice_type != SLICE_I:
         h.cabac_init_idc = r.ue()
     h.slice_qp_delta = r.se()

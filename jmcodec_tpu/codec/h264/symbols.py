@@ -49,6 +49,7 @@ class FrameSymbols:
     has_pcm: bool = False
     has_t8: bool = False   # frame uses 8x8 transform (host recon path only
     #                        until the device kernel learns 8x8 residuals)
+    has_b: bool = False    # frame has B-predicted MBs (host recon path)
     pcm_y: np.ndarray = None         # [mbh*16, mbw*16] int32 overlay (or None)
     pcm_u: np.ndarray = None
     pcm_v: np.ndarray = None

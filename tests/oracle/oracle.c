@@ -11,6 +11,7 @@
 #include <libavcodec/avcodec.h>
 #include <libavutil/opt.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/motion_vector.h>
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
@@ -24,6 +25,21 @@ static void write_frame_i420(FILE *f, AVFrame *fr) {
         fwrite(fr->data[1] + y * fr->linesize[1], 1, fr->width / 2, f);
     for (int y = 0; y < fr->height / 2; y++)
         fwrite(fr->data[2] + y * fr->linesize[2], 1, fr->width / 2, f);
+}
+
+/* mvs mode: decode and print one line per exported motion vector:
+ *   frame_idx source blk_w blk_h dst_x dst_y motion_x motion_y
+ * (AV_FRAME_DATA_MOTION_VECTORS; source<0 = list0/past, >0 = list1/future) */
+static int mvs_mode = 0;
+
+static void dump_mvs(AVFrame *fr, int idx, FILE *fo) {
+    AVFrameSideData *sd = av_frame_get_side_data(fr, AV_FRAME_DATA_MOTION_VECTORS);
+    if (!sd) return;
+    const AVMotionVector *mv = (const AVMotionVector *)sd->data;
+    for (size_t i = 0; i < sd->size / sizeof(*mv); i++, mv++)
+        fprintf(fo, "%d %d %d %d %d %d %d %d\n", idx, mv->source,
+                mv->w, mv->h, mv->dst_x, mv->dst_y,
+                (int)mv->motion_x, (int)mv->motion_y);
 }
 
 static int do_decode(const char *inpath, const char *outpath) {
@@ -46,6 +62,14 @@ static int do_decode(const char *inpath, const char *outpath) {
     if (!codec) die("no decoder");
     AVCodecParserContext *parser = av_parser_init(codec->id);
     AVCodecContext *ctx = avcodec_alloc_context3(codec);
+    if (mvs_mode)
+        ctx->flags2 |= AV_CODEC_FLAG2_EXPORT_MVS;
+    if (getenv("ORACLE_DEBUG")) {
+        ctx->debug = FF_DEBUG_QP | FF_DEBUG_MB_TYPE;
+        av_log_set_level(AV_LOG_DEBUG);
+    }
+    if (getenv("ORACLE_NOLF"))
+        ctx->skip_loop_filter = AVDISCARD_ALL;
     if (avcodec_open2(ctx, codec, NULL) < 0) die("open decoder");
 
     FILE *fo = fopen(outpath, "wb");
@@ -67,8 +91,10 @@ static int do_decode(const char *inpath, const char *outpath) {
         if (pkt->size) {
             if (avcodec_send_packet(ctx, pkt) < 0) die("send_packet");
             while (avcodec_receive_frame(ctx, fr) == 0) {
-                W = fr->width; H = fr->height; N++;
-                write_frame_i420(fo, fr);
+                W = fr->width; H = fr->height;
+                if (mvs_mode) dump_mvs(fr, N, fo);
+                else write_frame_i420(fo, fr);
+                N++;
             }
         } else if (in_size == 0) {
             break;
@@ -77,8 +103,10 @@ static int do_decode(const char *inpath, const char *outpath) {
     /* flush */
     avcodec_send_packet(ctx, NULL);
     while (avcodec_receive_frame(ctx, fr) == 0) {
-        W = fr->width; H = fr->height; N++;
-        write_frame_i420(fo, fr);
+        W = fr->width; H = fr->height;
+        if (mvs_mode) dump_mvs(fr, N, fo);
+        else write_frame_i420(fo, fr);
+        N++;
     }
     fclose(fo);
     printf("%d %d %d\n", W, H, N);
@@ -163,6 +191,7 @@ static int do_encode(int argc, char **argv) {
 int main(int argc, char **argv) {
     av_log_set_level(AV_LOG_ERROR);
     if (argc >= 4 && !strcmp(argv[1], "decode")) return do_decode(argv[2], argv[3]);
+    if (argc >= 4 && !strcmp(argv[1], "mvs")) { mvs_mode = 1; return do_decode(argv[2], argv[3]); }
     if (argc >= 7 && !strcmp(argv[1], "encode")) return do_encode(argc, argv);
     fprintf(stderr, "usage: oracle decode <in> <out.i420> | "
                     "oracle encode <in.i420> <W> <H> <qp> <out> [codec] [gop] [preset]\n");
