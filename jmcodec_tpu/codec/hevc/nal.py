@@ -27,12 +27,45 @@ NAL_PREFIX_SEI = 39
 NAL_SUFFIX_SEI = 40
 
 
+def ebsp_to_rbsp_pos(ebsp: bytes):
+    """Like ebsp_to_rbsp but also returns the RBSP indices at which an
+    emulation_prevention_three_byte was removed (needed to convert
+    entry_point_offset values, which count EBSP bytes, spec 7.4.7.1)."""
+    pos = ebsp.find(b"\x00\x00\x03")
+    if pos == -1:
+        return ebsp, []
+    out = bytearray()
+    removed = []
+    start = 0
+    while pos != -1:
+        out += ebsp[start:pos + 2]
+        removed.append(len(out))  # a 0x03 sat before out[len(out)]
+        start = pos + 3
+        pos = ebsp.find(b"\x00\x00\x03", start)
+    out += ebsp[start:]
+    return bytes(out), removed
+
+
+def ebsp_offset_to_rbsp(ebsp_off: int, removed) -> int:
+    """Map an EBSP byte offset to the RBSP offset given the removed-byte
+    positions from ebsp_to_rbsp_pos. The i-th removed byte occupies EBSP
+    index removed[i] + i."""
+    r = ebsp_off
+    for i, p in enumerate(removed):
+        if p + i < ebsp_off:
+            r -= 1
+        else:
+            break
+    return r
+
+
 @dataclass
 class HevcNalUnit:
     nal_unit_type: int
     nuh_layer_id: int
     nuh_temporal_id: int  # = nuh_temporal_id_plus1 - 1
     rbsp: bytes
+    emu_positions: List[int] = None
 
     @property
     def is_slice(self) -> bool:
@@ -55,11 +88,12 @@ def parse_nal_units(data: bytes) -> List[HevcNalUnit]:
         b0, b1 = data[s], data[s + 1]
         if b0 & 0x80:
             raise ValueError("forbidden_zero_bit set in HEVC NAL header")
+        rbsp, removed = ebsp_to_rbsp_pos(data[s + 2:e])
         units.append(HevcNalUnit(
             nal_unit_type=(b0 >> 1) & 0x3F,
             nuh_layer_id=((b0 & 1) << 5) | (b1 >> 3),
             nuh_temporal_id=(b1 & 7) - 1,
-            rbsp=ebsp_to_rbsp(data[s + 2:e])))
+            rbsp=rbsp, emu_positions=removed))
     return units
 
 

@@ -41,37 +41,84 @@ def _profile_tier_level(r: BitReader, max_sub_layers: int) -> dict:
     return info
 
 
-def _skip_short_term_rps(r: BitReader, idx: int, num_sets: int,
-                         prev_deltas: List[int]) -> int:
-    """Parse one st_ref_pic_set (7.3.7); returns NumDeltaPocs, tracking only
-    what is needed to keep bit offsets exact."""
+@dataclass
+class ShortTermRPS:
+    """One st_ref_pic_set (7.4.8): delta POCs (negative then positive,
+    each in derivation order) and used_by_curr flags."""
+    delta_poc_s0: List[int] = field(default_factory=list)  # negative, desc
+    used_s0: List[int] = field(default_factory=list)
+    delta_poc_s1: List[int] = field(default_factory=list)  # positive, asc
+    used_s1: List[int] = field(default_factory=list)
+
+    @property
+    def num_delta_pocs(self) -> int:
+        return len(self.delta_poc_s0) + len(self.delta_poc_s1)
+
+
+def parse_short_term_rps(r: BitReader, idx: int, rps_list,
+                         is_slice_header: bool = False) -> "ShortTermRPS":
+    """Parse one st_ref_pic_set (7.3.7 + 7.4.8 derivation), including the
+    inter-RPS-prediction form."""
+    rps = ShortTermRPS()
     inter_pred = r.flag() if idx != 0 else 0
     if inter_pred:
-        if idx == num_sets:
-            r.ue()  # delta_idx_minus1
-        r.flag()  # delta_rps_sign
-        r.ue()    # abs_delta_rps_minus1
-        num_delta = prev_deltas[-1]
-        cnt = 0
-        for _ in range(num_delta + 1):
-            used = r.flag()
-            if not used:
-                if r.flag():
-                    cnt += 1
-            else:
-                cnt += 1
-        prev_deltas.append(cnt)
-        return cnt
+        d = r.ue() + 1 if is_slice_header else 1  # delta_idx_minus1 + 1
+        ref = rps_list[idx - d]
+        sign = r.flag()
+        abs_delta = r.ue() + 1
+        delta_rps = (1 - 2 * sign) * abs_delta
+        n = ref.num_delta_pocs
+        used = []
+        flags = []
+        for _ in range(n + 1):
+            u = r.flag()
+            f = 1 if u else r.flag()
+            used.append(u)
+            flags.append(f)
+        # derivation (7.4.8): ref deltas in order S0 then S1
+        ref_d = ref.delta_poc_s0 + ref.delta_poc_s1
+        # S0 of new RPS
+        for j in range(len(ref.delta_poc_s1) - 1, -1, -1):
+            dpoc = ref.delta_poc_s1[j] + delta_rps
+            if dpoc < 0 and flags[len(ref.delta_poc_s0) + j]:
+                rps.delta_poc_s0.append(dpoc)
+                rps.used_s0.append(used[len(ref.delta_poc_s0) + j])
+        if delta_rps < 0 and flags[n]:
+            rps.delta_poc_s0.append(delta_rps)
+            rps.used_s0.append(used[n])
+        for j in range(len(ref.delta_poc_s0)):
+            dpoc = ref.delta_poc_s0[j] + delta_rps
+            if dpoc < 0 and flags[j]:
+                rps.delta_poc_s0.append(dpoc)
+                rps.used_s0.append(used[j])
+        # S1
+        for j in range(len(ref.delta_poc_s0) - 1, -1, -1):
+            dpoc = ref.delta_poc_s0[j] + delta_rps
+            if dpoc > 0 and flags[j]:
+                rps.delta_poc_s1.append(dpoc)
+                rps.used_s1.append(used[j])
+        if delta_rps > 0 and flags[n]:
+            rps.delta_poc_s1.append(delta_rps)
+            rps.used_s1.append(used[n])
+        for j in range(len(ref.delta_poc_s1)):
+            dpoc = ref.delta_poc_s1[j] + delta_rps
+            if dpoc > 0 and flags[len(ref.delta_poc_s0) + j]:
+                rps.delta_poc_s1.append(dpoc)
+                rps.used_s1.append(used[len(ref.delta_poc_s0) + j])
+        return rps
     neg = r.ue()
     pos = r.ue()
+    acc = 0
     for _ in range(neg):
-        r.ue()
-        r.flag()
+        acc -= r.ue() + 1
+        rps.delta_poc_s0.append(acc)
+        rps.used_s0.append(r.flag())
+    acc = 0
     for _ in range(pos):
-        r.ue()
-        r.flag()
-    prev_deltas.append(neg + pos)
-    return neg + pos
+        acc += r.ue() + 1
+        rps.delta_poc_s1.append(acc)
+        rps.used_s1.append(r.flag())
+    return rps
 
 
 @dataclass
@@ -97,8 +144,13 @@ class HevcSPS:
     sao_enabled: int = 0
     pcm_enabled: int = 0
     num_short_term_rps: int = 0
+    short_term_rps: List["ShortTermRPS"] = field(default_factory=list)
+    long_term_ref_pics_present: int = 0
+    lt_ref_pics: List[tuple] = field(default_factory=list)
     temporal_mvp_enabled: int = 0
     strong_intra_smoothing: int = 0
+    max_dec_pic_buffering: int = 1
+    num_reorder_pics: int = 0
 
     @property
     def width(self) -> int:
@@ -136,9 +188,9 @@ def parse_sps(rbsp: bytes) -> HevcSPS:
     sub_layer_ordering = r.flag()
     lo = 0 if sub_layer_ordering else s.max_sub_layers - 1
     for _ in range(lo, s.max_sub_layers):
-        r.ue()
-        r.ue()
-        r.ue()
+        s.max_dec_pic_buffering = r.ue() + 1
+        s.num_reorder_pics = r.ue()
+        r.ue()  # max_latency_increase
     s.log2_min_cb = r.ue() + 3
     s.log2_ctb = s.log2_min_cb + r.ue()
     s.log2_min_tb = r.ue() + 2
@@ -159,14 +211,14 @@ def parse_sps(rbsp: bytes) -> HevcSPS:
         r.ue()
         r.flag()
     s.num_short_term_rps = r.ue()
-    deltas: List[int] = []
     for i in range(s.num_short_term_rps):
-        _skip_short_term_rps(r, i, s.num_short_term_rps, deltas)
-    if r.flag():  # long_term_ref_pics_present
+        s.short_term_rps.append(
+            parse_short_term_rps(r, i, s.short_term_rps))
+    s.long_term_ref_pics_present = r.flag()
+    if s.long_term_ref_pics_present:
         n = r.ue()
         for _ in range(n):
-            r.u(s.log2_max_poc_lsb)
-            r.flag()
+            s.lt_ref_pics.append((r.u(s.log2_max_poc_lsb), r.flag()))
     s.temporal_mvp_enabled = r.flag()
     s.strong_intra_smoothing = r.flag()
     # vui / extensions ignored
@@ -206,6 +258,10 @@ class HevcPPS:
     deblocking_filter_disabled: int = 0
     beta_offset_div2: int = 0
     tc_offset_div2: int = 0
+    slice_chroma_qp_offsets_present: int = 0
+    lists_modification_present: int = 0
+    log2_parallel_merge_level: int = 2
+    slice_header_extension_present: int = 0
 
 
 def parse_pps(rbsp: bytes) -> HevcPPS:
@@ -228,7 +284,7 @@ def parse_pps(rbsp: bytes) -> HevcPPS:
         p.diff_cu_qp_delta_depth = r.ue()
     p.cb_qp_offset = r.se()
     p.cr_qp_offset = r.se()
-    r.flag()  # pps_slice_chroma_qp_offsets_present
+    p.slice_chroma_qp_offsets_present = r.flag()
     p.weighted_pred = r.flag()
     p.weighted_bipred = r.flag()
     p.transquant_bypass_enabled = r.flag()
@@ -252,6 +308,11 @@ def parse_pps(rbsp: bytes) -> HevcPPS:
         if not p.deblocking_filter_disabled:
             p.beta_offset_div2 = r.se()
             p.tc_offset_div2 = r.se()
+    if r.flag():  # pps_scaling_list_data_present
+        raise NotImplementedError("HEVC PPS scaling list data")
+    p.lists_modification_present = r.flag()
+    p.log2_parallel_merge_level = r.ue() + 2
+    p.slice_header_extension_present = r.flag()
     return p
 
 

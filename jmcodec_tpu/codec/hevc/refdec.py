@@ -1,0 +1,947 @@
+"""HEVC reference decoder (host oracle): CTU quadtree syntax, CABAC residual
+coding, intra reconstruction, deblocking and SAO — bit-exact vs libavcodec.
+
+This is the host twin of the device recon kernels (the reference performs
+all of this in decode silicon behind the driver parser,
+intel_dec/intel_dec.cpp:722-741 HEVC plugin load, nv_dec/nv_dec.h:37-46).
+Scope: I slices (all-intra), 4:2:0 8-bit, no tiles; WPP supported.
+P/B inter prediction lands with the HEVC inter milestone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import intra as IP
+from . import nal as HN
+from . import transform as TR
+from .cabac import HevcCabac
+from . import cabac_tables as CT
+from .params import HevcPPS, HevcSPS, parse_pps, parse_sps
+from .slicehdr import (B_SLICE, I_SLICE, P_SLICE, HevcSliceHeader,
+                       parse_slice_header)
+
+# ---------------------------------------------------------------------------
+# scan orders (spec 6.5.3-6.5.5); scanIdx: 0 diag(up-right), 1 hor, 2 ver
+# ---------------------------------------------------------------------------
+
+
+def _scan(n: int, idx: int) -> List[Tuple[int, int]]:
+    if idx == 1:  # horizontal
+        return [(x, y) for y in range(n) for x in range(n)]
+    if idx == 2:  # vertical
+        return [(x, y) for x in range(n) for y in range(n)]
+    out = []
+    for d in range(2 * n - 1):
+        for x in range(d + 1):
+            y = d - x
+            if x < n and y < n:
+                out.append((x, y))
+    return out
+
+
+_SCANS = {(n, i): _scan(n, i) for n in (1, 2, 4, 8) for i in (0, 1, 2)}
+
+# 4x4 sig_coeff_flag ctx map (spec 9.3.4.2.5 ctxIdxMap)
+_CTX_IDX_MAP = [0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8]
+
+# deblock tables (spec Tables 8-12): recovered from system libs alongside
+# the CABAC tables (see native/gen_hevc_tables.py provenance notes)
+_BETA = [0] * 16 + [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20, 22,
+                    24, 26, 28, 30, 32, 34, 36, 38, 40, 42, 44, 46, 48, 50,
+                    52, 54, 56, 58, 60, 62, 64]
+_TC = [0] * 18 + [1] * 9 + [2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5, 5, 6, 6, 7,
+                  8, 9, 10, 11, 13, 14, 16, 18, 20, 22, 24]
+
+SAO_OFF, SAO_BAND, SAO_EDGE = 0, 1, 2
+
+
+@dataclass
+class SaoParam:
+    type_idx: List[int] = field(default_factory=lambda: [0, 0, 0])
+    offsets: List[List[int]] = field(
+        default_factory=lambda: [[0] * 4 for _ in range(3)])
+    band_pos: List[int] = field(default_factory=lambda: [0, 0, 0])
+    eo_class: List[int] = field(default_factory=lambda: [0, 0, 0])
+
+
+class HevcRefDecoder:
+    """Streaming Annex-B HEVC decoder producing I420 frames."""
+
+    def __init__(self):
+        self.sps: Dict[int, HevcSPS] = {}
+        self.pps: Dict[int, HevcPPS] = {}
+        self.frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+
+    # -- top level ----------------------------------------------------------
+
+    def decode(self, data: bytes) -> List[Tuple[np.ndarray, ...]]:
+        au: List = []
+        for u in HN.parse_nal_units(data):
+            if u.nal_unit_type == HN.NAL_SPS:
+                s = parse_sps(u.rbsp)
+                self.sps[s.sps_id] = s
+            elif u.nal_unit_type == HN.NAL_PPS:
+                p = parse_pps(u.rbsp)
+                self.pps[p.pps_id] = p
+            elif u.is_slice:
+                hdr = parse_slice_header(
+                    u.rbsp, u.nal_unit_type,
+                    self._sps_for(u.rbsp, u.nal_unit_type), self._pps_probe(
+                        u.rbsp, u.nal_unit_type))
+                if hdr.first_slice and au:
+                    self._decode_picture(au)
+                    au = []
+                au.append((hdr, u.rbsp, u.emu_positions))
+        if au:
+            self._decode_picture(au)
+        return self.frames
+
+    def _pps_probe(self, rbsp: bytes, nal_type: int) -> HevcPPS:
+        from ...utils.bits import BitReader
+        r = BitReader(rbsp)
+        r.flag()
+        if 16 <= nal_type <= 23:
+            r.flag()
+        return self.pps[r.ue()]
+
+    def _sps_for(self, rbsp: bytes, nal_type: int) -> HevcSPS:
+        return self.sps[self._pps_probe(rbsp, nal_type).sps_id]
+
+    # -- picture ------------------------------------------------------------
+
+    def _decode_picture(self, slices) -> None:
+        hdr0 = slices[0][0]
+        pps = self.pps[hdr0.pps_id]
+        sps = self.sps[pps.sps_id]
+        if hdr0.slice_type != I_SLICE:
+            raise NotImplementedError("HEVC inter slices")
+        if sps.chroma_format_idc != 1 or sps.bit_depth_luma != 8:
+            raise NotImplementedError("HEVC non-4:2:0/8-bit")
+        if pps.tiles_enabled:
+            raise NotImplementedError("HEVC tiles")
+        if pps.cu_qp_delta_enabled:
+            raise NotImplementedError("HEVC cu_qp_delta")
+        w, h = sps.pic_width, sps.pic_height
+        self.pic = _Picture(sps, pps)
+        for hdr, rbsp, emu in slices:
+            self._decode_slice(hdr, rbsp, emu)
+        self.pic.deblock()
+        self.pic.sao()
+        y, u, v = self.pic.output(sps)
+        self.frames.append((y, u, v))
+
+    # -- slice --------------------------------------------------------------
+
+    def _decode_slice(self, hdr: HevcSliceHeader, rbsp: bytes,
+                      emu) -> None:
+        pic = self.pic
+        sps, pps = pic.sps, pic.pps
+        pic.cur_hdr = hdr
+        c = HevcCabac(rbsp, hdr.data_bitpos, hdr.qp, hdr.init_type)
+        wpp = pps.entropy_coding_sync_enabled
+        # substream start offsets (RBSP bytes) from entry points, which
+        # count EBSP bytes from the start of slice data (spec 7.4.7.1)
+        substream_rbsp = []
+        if hdr.entry_points:
+            emu = emu or []
+            start_r = hdr.data_bitpos >> 3
+            # ebsp offset of the slice-data start: i-th removed byte sits
+            # just before rbsp index emu[i]
+            start_e = start_r + sum(1 for p in emu if p <= start_r)
+            for e_off in hdr.entry_points:
+                substream_rbsp.append(
+                    HN.ebsp_offset_to_rbsp(start_e + e_off, emu))
+        ctb_w = pic.ctb_w
+        addr = hdr.segment_address
+        saved = None
+        sub_idx = 0
+        while True:
+            xc, yc = addr % ctb_w, addr // ctb_w
+            if wpp and xc == 0 and addr != hdr.segment_address:
+                # row start: sync from storage after top-right CTB (9.3.1)
+                if ctb_w > 1 and pic.slice_id[yc - 1, min(1, ctb_w - 1)] == \
+                        pic.cur_slice and saved is not None:
+                    c.load_states(saved)
+                else:
+                    c.init_contexts(hdr.qp, hdr.init_type)
+            pic.decode_ctu(c, xc, yc)
+            if wpp and xc == 1:
+                saved = c.save_states()
+            end = c.terminate()
+            addr += 1
+            if end:
+                break
+            if addr >= pic.ctb_w * pic.ctb_h:
+                raise ValueError("slice data overruns picture")
+            if wpp and addr % ctb_w == 0:
+                if not c.terminate():
+                    raise ValueError("end_of_subset_one_bit not 1")
+                if sub_idx < len(substream_rbsp):
+                    c.reposition(substream_rbsp[sub_idx] * 8)
+                    sub_idx += 1
+                else:
+                    c.align_and_reinit()
+        pic.cur_slice += 1
+
+
+class _Picture:
+    """Per-picture decode state and reconstruction."""
+
+    def __init__(self, sps: HevcSPS, pps: HevcPPS):
+        self.sps, self.pps = sps, pps
+        w, h = sps.pic_width, sps.pic_height
+        self.w, self.h = w, h
+        self.ctb = 1 << sps.log2_ctb
+        self.ctb_w = (w + self.ctb - 1) >> sps.log2_ctb
+        self.ctb_h = (h + self.ctb - 1) >> sps.log2_ctb
+        self.y = np.zeros((h, w), np.int32)
+        self.cb = np.zeros((h // 2, w // 2), np.int32)
+        self.cr = np.zeros((h // 2, w // 2), np.int32)
+        g = 4
+        self.avail_y = np.zeros(((h + g - 1) // g, (w + g - 1) // g), bool)
+        self.avail_c = np.zeros(((h // 2 + g - 1) // g,
+                                 (w // 2 + g - 1) // g), bool)
+        self.mode_y = np.full(self.avail_y.shape, IP.DC, np.int32)
+        # z-scan parse availability for MPM (6.4.1): marked as PU modes are
+        # parsed, ahead of reconstruction (intra-CU neighbors count)
+        self.mode_avail = np.zeros(self.avail_y.shape, bool)
+        self.ct_depth = np.zeros(self.avail_y.shape, np.int32)
+        self.qp_map = np.zeros(self.avail_y.shape, np.int32)
+        # deblock edge bS maps at 4x4 granularity (luma coords)
+        self.bs_ver = np.zeros(self.avail_y.shape, np.int8)
+        self.bs_hor = np.zeros(self.avail_y.shape, np.int8)
+        self.slice_id = np.full((self.ctb_h, self.ctb_w), -1, np.int32)
+        self.cur_slice = 0
+        self.sao_params: List[Optional[SaoParam]] = [None] * (
+            self.ctb_w * self.ctb_h)
+        self.cur_hdr: Optional[HevcSliceHeader] = None
+
+    # -- CTU ----------------------------------------------------------------
+
+    def decode_ctu(self, c: HevcCabac, xc: int, yc: int) -> None:
+        hdr = self.cur_hdr
+        self.slice_id[yc, xc] = self.cur_slice
+        if hdr.sao_luma or hdr.sao_chroma:
+            self._sao_syntax(c, xc, yc)
+        x0, y0 = xc << self.sps.log2_ctb, yc << self.sps.log2_ctb
+        self._coding_quadtree(c, x0, y0, self.sps.log2_ctb, 0)
+
+    def _sao_syntax(self, c: HevcCabac, xc: int, yc: int) -> None:
+        hdr = self.cur_hdr
+        idx = yc * self.ctb_w + xc
+        merge = 0
+        if xc > 0 and self.slice_id[yc, xc - 1] == self.cur_slice:
+            if c.decode(CT.SAO_MERGE_FLAG):
+                self.sao_params[idx] = self.sao_params[idx - 1]
+                return
+        if yc > 0 and self.slice_id[yc - 1, xc] == self.cur_slice:
+            if c.decode(CT.SAO_MERGE_FLAG):
+                self.sao_params[idx] = self.sao_params[idx - self.ctb_w]
+                return
+        p = SaoParam()
+        for ci in range(3):
+            if (ci == 0 and not hdr.sao_luma) or (
+                    ci > 0 and not hdr.sao_chroma):
+                continue
+            if ci <= 1:
+                # sao_type_idx: TR cMax=2, bin0 ctx, bin1 bypass
+                if not c.decode(CT.SAO_TYPE_IDX):
+                    t = SAO_OFF
+                else:
+                    t = SAO_EDGE if c.bypass() else SAO_BAND
+                p.type_idx[ci] = t
+            else:
+                p.type_idx[2] = p.type_idx[1]
+            if p.type_idx[ci] == SAO_OFF:
+                continue
+            absv = [c.tr_bypass(7) for _ in range(4)]
+            if p.type_idx[ci] == SAO_BAND:
+                offs = []
+                for v in absv:
+                    if v and c.bypass():
+                        v = -v
+                    offs.append(v)
+                p.offsets[ci] = offs
+                p.band_pos[ci] = (c.bypass() << 4 | c.bypass() << 3 |
+                                  c.bypass() << 2 | c.bypass() << 1 |
+                                  c.bypass())
+            else:
+                p.offsets[ci] = [absv[0], absv[1], -absv[2], -absv[3]]
+                if ci == 0:
+                    p.eo_class[0] = (c.bypass() << 1) | c.bypass()
+                elif ci == 1:
+                    p.eo_class[1] = (c.bypass() << 1) | c.bypass()
+                    p.eo_class[2] = p.eo_class[1]
+        self.sao_params[idx] = p
+
+    # -- coding quadtree ----------------------------------------------------
+
+    def _coding_quadtree(self, c: HevcCabac, x0: int, y0: int,
+                         log2size: int, depth: int) -> None:
+        sps = self.sps
+        inside = (x0 + (1 << log2size) <= self.w and
+                  y0 + (1 << log2size) <= self.h)
+        if inside and log2size > sps.log2_min_cb:
+            ctx = 0
+            g = 4
+            if x0 > 0 and self.avail_y[y0 // g, (x0 - 1) // g]:
+                ctx += int(self.ct_depth[y0 // g, (x0 - 1) // g] > depth)
+            if y0 > 0 and self.avail_y[(y0 - 1) // g, x0 // g]:
+                ctx += int(self.ct_depth[(y0 - 1) // g, x0 // g] > depth)
+            split = c.decode(CT.SPLIT_CU_FLAG + ctx)
+        else:
+            split = log2size > sps.log2_min_cb
+        if split:
+            half = 1 << (log2size - 1)
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                if x0 + dx < self.w and y0 + dy < self.h:
+                    self._coding_quadtree(c, x0 + dx, y0 + dy,
+                                          log2size - 1, depth + 1)
+        else:
+            self._coding_unit(c, x0, y0, log2size, depth)
+
+    # -- coding unit (intra) -------------------------------------------------
+
+    def _coding_unit(self, c: HevcCabac, x0: int, y0: int, log2size: int,
+                     depth: int) -> None:
+        sps, pps = self.sps, self.pps
+        if pps.transquant_bypass_enabled:
+            if c.decode(CT.CU_TRANSQUANT_BYPASS):
+                raise NotImplementedError("transquant bypass")
+        if self.cur_hdr.slice_type != I_SLICE:
+            raise NotImplementedError("inter CU")
+        n = 1 << log2size
+        g = 4
+        self.ct_depth[y0 // g:(y0 + n) // g, x0 // g:(x0 + n) // g] = depth
+        self.qp_map[y0 // g:(y0 + n) // g, x0 // g:(x0 + n) // g] = \
+            self.cur_hdr.qp
+        # part_mode
+        part_nxn = False
+        if log2size == sps.log2_min_cb:
+            if not c.decode(CT.PART_MODE):
+                part_nxn = True
+        if sps.pcm_enabled:
+            raise NotImplementedError("PCM")
+        # luma modes
+        npu = 2 if part_nxn else 1
+        pb = n >> (npu - 1)
+        prev_flags = []
+        for j in range(npu * npu):
+            prev_flags.append(c.decode(CT.PREV_INTRA_LUMA_PRED))
+        modes = []
+        for j in range(npu * npu):
+            px = x0 + (j & 1) * pb
+            py = y0 + (j >> 1) * pb
+            cands = self._mpm(px, py)
+            if prev_flags[j]:
+                mpm_idx = c.tr_bypass(2)
+                mode = cands[mpm_idx]
+            else:
+                rem = 0
+                for _ in range(5):
+                    rem = (rem << 1) | c.bypass()
+                mode = rem
+                for cm in sorted(cands):
+                    if mode >= cm:
+                        mode += 1
+            modes.append(mode)
+            self.mode_y[py // g:(py + pb) // g, px // g:(px + pb) // g] = mode
+            self.mode_avail[py // g:(py + pb) // g,
+                            px // g:(px + pb) // g] = True
+        # chroma mode (4:2:0: one per CU)
+        if c.decode(CT.INTRA_CHROMA_PRED_MODE):
+            idx = (c.bypass() << 1) | c.bypass()
+            cand = (IP.PLANAR, IP.VER, IP.HOR, IP.DC)[idx]
+            cmode = 34 if cand == modes[0] else cand
+        else:
+            cmode = modes[0]
+        self.cu_cmode = cmode
+        self.cu_modes = modes
+        self.cu_part_nxn = part_nxn
+        self.cu_x0, self.cu_y0, self.cu_log2 = x0, y0, log2size
+        # transform tree
+        max_depth = sps.max_transform_hierarchy_depth_intra + (
+            1 if part_nxn else 0)
+        self._transform_tree(c, x0, y0, x0, y0, log2size, 0, 0,
+                             max_depth, part_nxn, 1, 1)
+        # CU boundary edges for deblock (TU edges are marked per-leaf; CU
+        # edge == outer TU edge so nothing extra needed for intra)
+
+    def _mpm(self, px: int, py: int) -> List[int]:
+        g = 4
+        # candA: left (px-1, py); candB: above (px, py-1), forced DC if
+        # outside current CTB row (spec 8.4.2)
+        a = IP.DC
+        if px > 0 and self.mode_avail[py // g, (px - 1) // g]:
+            a = int(self.mode_y[py // g, (px - 1) // g])
+        b = IP.DC
+        if py > 0 and self.mode_avail[(py - 1) // g, px // g] and \
+                (py % self.ctb) != 0:
+            b = int(self.mode_y[(py - 1) // g, px // g])
+        if a == b:
+            if a < 2:
+                return [IP.PLANAR, IP.DC, IP.VER]
+            return [a, 2 + ((a + 29) % 32), 2 + ((a - 2 + 1) % 32)]
+        lst = [a, b]
+        if IP.PLANAR not in lst:
+            lst.append(IP.PLANAR)
+        elif IP.DC not in lst:
+            lst.append(IP.DC)
+        else:
+            lst.append(IP.VER)
+        return lst
+
+    # -- transform tree ------------------------------------------------------
+
+    def _transform_tree(self, c: HevcCabac, x0: int, y0: int, x_base: int,
+                        y_base: int, log2size: int, depth: int, blk_idx: int,
+                        max_depth: int, intra_split: bool,
+                        parent_cbf_cb: int, parent_cbf_cr: int) -> None:
+        sps = self.sps
+        if (log2size <= sps.log2_max_tb and log2size > sps.log2_min_tb and
+                depth < max_depth and not (intra_split and depth == 0)):
+            split = c.decode(CT.SPLIT_TRANSFORM_FLAG + 5 - log2size)
+        else:
+            split = (log2size > sps.log2_max_tb or
+                     (intra_split and depth == 0))
+            if log2size <= sps.log2_min_tb:
+                split = False
+        cbf_cb, cbf_cr = parent_cbf_cb, parent_cbf_cr
+        if log2size > 2:
+            if depth == 0 or parent_cbf_cb:
+                cbf_cb = c.decode(CT.CBF_CB_CR + depth)
+            else:
+                cbf_cb = 0
+            if depth == 0 or parent_cbf_cr:
+                cbf_cr = c.decode(CT.CBF_CB_CR + depth)
+            else:
+                cbf_cr = 0
+        if split:
+            half = 1 << (log2size - 1)
+            for i, (dx, dy) in enumerate(
+                    ((0, 0), (half, 0), (0, half), (half, half))):
+                self._transform_tree(c, x0 + dx, y0 + dy, x0, y0,
+                                     log2size - 1, depth + 1, i, max_depth,
+                                     intra_split, cbf_cb, cbf_cr)
+            return
+        # leaf
+        cbf_luma = c.decode(CT.CBF_LUMA + (1 if depth == 0 else 0))
+        self._transform_unit(c, x0, y0, x_base, y_base, log2size, depth,
+                             blk_idx, cbf_luma, cbf_cb, cbf_cr)
+
+    def _transform_unit(self, c: HevcCabac, x0: int, y0: int, x_base: int,
+                        y_base: int, log2size: int, depth: int, blk_idx: int,
+                        cbf_luma: int, cbf_cb: int, cbf_cr: int) -> None:
+        qp = self.cur_hdr.qp
+        pps = self.pps
+        n = 1 << log2size
+        # mark TU edges for deblock (intra: bS 2)
+        g = 4
+        self.bs_ver[y0 // g:(y0 + n) // g, x0 // g] = 2
+        self.bs_hor[y0 // g, x0 // g:(x0 + n) // g] = 2
+        # luma prediction + residual
+        mode = self._luma_mode_at(x0, y0)
+        res = None
+        if cbf_luma:
+            scan = self._scan_idx(mode, log2size, 0)
+            coeffs = self._residual(c, log2size, 0, scan)
+            d = TR.dequant(coeffs, qp, log2size)
+            res = TR.inverse_transform(d, log2size, dst=(log2size == 2))
+        self._recon_intra(self.y, self.avail_y, x0, y0, n, mode, 0, res)
+        # chroma at this node?
+        if log2size > 2:
+            self._chroma_unit(c, x0 >> 1, y0 >> 1, log2size - 1,
+                              cbf_cb, cbf_cr)
+        elif blk_idx == 3:
+            self._chroma_unit(c, x_base >> 1, y_base >> 1, 2,
+                              cbf_cb, cbf_cr)
+
+    def _chroma_unit(self, c: HevcCabac, xc: int, yc: int, log2size: int,
+                     cbf_cb: int, cbf_cr: int) -> None:
+        qp = self.cur_hdr.qp
+        pps = self.pps
+        hdr = self.cur_hdr
+        n = 1 << log2size
+        mode = self.cu_cmode
+        for cidx, (plane, cbf, off) in enumerate((
+                (self.cb, cbf_cb, pps.cb_qp_offset + hdr.cb_qp_offset),
+                (self.cr, cbf_cr, pps.cr_qp_offset + hdr.cr_qp_offset)),
+                start=1):
+            res = None
+            if cbf:
+                scan = self._scan_idx(mode, log2size, cidx)
+                coeffs = self._residual(c, log2size, cidx, scan)
+                qpc = TR.chroma_qp(qp, off)
+                d = TR.dequant(coeffs, qpc, log2size)
+                res = TR.inverse_transform(d, log2size, dst=False)
+            # cb and cr share one availability map: mark after cr only
+            self._recon_intra(plane, self.avail_c, xc, yc, n, mode, cidx,
+                              res, mark=(cidx == 2))
+
+    def _luma_mode_at(self, x0: int, y0: int) -> int:
+        if not self.cu_part_nxn:
+            return self.cu_modes[0]
+        half = 1 << (self.cu_log2 - 1)
+        j = ((y0 - self.cu_y0) >= half) * 2 + ((x0 - self.cu_x0) >= half)
+        return self.cu_modes[j]
+
+    @staticmethod
+    def _scan_idx(mode: int, log2size: int, cidx: int) -> int:
+        if log2size == 2 or (log2size == 3 and cidx == 0):
+            if 6 <= mode <= 14:
+                return 2
+            if 22 <= mode <= 30:
+                return 1
+        return 0
+
+    def _recon_intra(self, plane, avail, x0, y0, n, mode, cidx, res,
+                     mark=True):
+        sps = self.sps
+        left, tl, top = IP.gather_references(plane, avail, x0, y0, n)
+        if cidx == 0:
+            left, tl, top = IP.filter_references(
+                left, tl, top, n, mode, sps.strong_intra_smoothing)
+        pred = IP.predict(mode, left, tl, top, n, cidx)
+        if res is not None:
+            pred = pred + res
+        plane[y0:y0 + n, x0:x0 + n] = np.clip(pred, 0, 255)
+        if mark:
+            g = 4
+            avail[y0 // g:(y0 + n) // g, x0 // g:(x0 + n) // g] = True
+
+    # -- residual coding (7.3.8.11) ------------------------------------------
+
+    def _residual(self, c: HevcCabac, log2size: int, cidx: int,
+                  scan_idx: int) -> np.ndarray:
+        pps = self.pps
+        n = 1 << log2size
+        block = np.zeros((n, n), np.int32)
+        tskip = False
+        if pps.transform_skip_enabled and log2size == 2:
+            tskip = bool(c.decode(CT.TRANSFORM_SKIP + (1 if cidx else 0)))
+        if tskip:
+            raise NotImplementedError("transform_skip recon")
+        # last significant coeff position
+        lx = self._last_prefix(c, CT.LAST_SIG_X_PREFIX, log2size, cidx)
+        ly = self._last_prefix(c, CT.LAST_SIG_Y_PREFIX, log2size, cidx)
+        lx = self._last_suffix(c, lx)
+        ly = self._last_suffix(c, ly)
+        if scan_idx == 2:
+            lx, ly = ly, lx
+        sb_n = max(1, n >> 2)
+        sb_scan = _SCANS[(sb_n, scan_idx)]
+        in_scan = _SCANS[(4, scan_idx)]
+        sb_pos = {p: i for i, p in enumerate(sb_scan)}
+        in_pos = {p: i for i, p in enumerate(in_scan)}
+        i_last = sb_pos[(lx >> 2, ly >> 2)]
+        k_last = in_pos[(lx & 3, ly & 3)]
+        csbf = np.zeros((sb_n, sb_n), np.int8)
+        c1 = 1
+        sdh = pps.sign_data_hiding
+        for i in range(i_last, -1, -1):
+            sx, sy = sb_scan[i]
+            if i == i_last or i == 0:
+                coded = 1
+                infer_dc = 0
+            else:
+                right = csbf[sy, sx + 1] if sx + 1 < sb_n else 0
+                below = csbf[sy + 1, sx] if sy + 1 < sb_n else 0
+                ctx = min(int(right) + int(below), 1) + (2 if cidx else 0)
+                coded = c.decode(CT.SIG_COEFF_GROUP + ctx)
+                infer_dc = 1
+            csbf[sy, sx] = coded
+            if not coded:
+                continue
+            # sig_coeff_flags
+            sig = []  # inner scan indices with sig, descending
+            start = k_last - 1 if i == i_last else 15
+            if i == i_last:
+                sig.append(k_last)
+            found = bool(sig)
+            for k in range(start, -1, -1):
+                if k == 0 and infer_dc and not found:
+                    sig.append(0)
+                    break
+                xin, yin = in_scan[k]
+                xc_, yc_ = (sx << 2) + xin, (sy << 2) + yin
+                ctx = self._sig_ctx(xc_, yc_, sx, sy, csbf, sb_n, log2size,
+                                    cidx, scan_idx)
+                if c.decode(CT.SIG_COEFF_FLAG + ctx):
+                    sig.append(k)
+                    found = True
+            nsig = len(sig)
+            if not nsig:
+                continue
+            # greater1 / greater2
+            ctx_set = 0 if (i == 0 or cidx > 0) else 2
+            if c1 == 0:
+                ctx_set += 1
+            c1 = 1
+            base_g1 = CT.COEFF_ABS_GREATER1 + (16 if cidx else 0) + \
+                4 * ctx_set
+            g1 = []
+            first_g1 = -1
+            for j in range(min(nsig, 8)):
+                b = c.decode(base_g1 + c1)
+                g1.append(b)
+                if b:
+                    if first_g1 < 0:
+                        first_g1 = j
+                    c1 = 0
+                elif 0 < c1 < 3:
+                    c1 += 1
+            g2 = 0
+            if first_g1 >= 0:
+                g2 = c.decode(CT.COEFF_ABS_GREATER2 + (4 if cidx else 0)
+                              + ctx_set)
+            # signs
+            hidden = sdh and (sig[0] - sig[-1] > 3)
+            nsigns = nsig - 1 if hidden else nsig
+            signs = [c.bypass() for _ in range(nsigns)]
+            # levels
+            rice = 0
+            total = 0
+            levels = []
+            for j, k in enumerate(sig):
+                base = 1
+                if j < 8:
+                    base += g1[j]
+                    if j == first_g1:
+                        base += g2
+                    thresh = 3 if j == first_g1 else 2
+                else:
+                    thresh = 1
+                level = base
+                if base == thresh:
+                    rem = self._abs_remaining(c, rice)
+                    level += rem
+                    if level > 3 << rice:
+                        rice = min(rice + 1, 4)
+                total += level
+                levels.append(level)
+            for j, k in enumerate(sig):
+                xin, yin = in_scan[k]
+                xc_, yc_ = (sx << 2) + xin, (sy << 2) + yin
+                if j < nsigns:
+                    v = -levels[j] if signs[j] else levels[j]
+                else:  # hidden sign from parity
+                    v = -levels[j] if (total & 1) else levels[j]
+                block[yc_, xc_] = v
+        return block
+
+    def _last_prefix(self, c: HevcCabac, base: int, log2size: int,
+                     cidx: int) -> int:
+        if cidx == 0:
+            off = 3 * (log2size - 2) + ((log2size - 1) >> 2)
+            shift = (log2size + 1) >> 2
+        else:
+            off = 15
+            shift = log2size - 2
+        cmax = (log2size << 1) - 1
+        v = 0
+        while v < cmax and c.decode(base + off + (v >> shift)):
+            v += 1
+        return v
+
+    def _last_suffix(self, c: HevcCabac, prefix: int) -> int:
+        if prefix <= 3:
+            return prefix
+        nbits = (prefix >> 1) - 1
+        suf = 0
+        for _ in range(nbits):
+            suf = (suf << 1) | c.bypass()
+        return ((2 + (prefix & 1)) << nbits) + suf
+
+    @staticmethod
+    def _abs_remaining(c: HevcCabac, rice: int) -> int:
+        prefix = 0
+        while prefix < 32 and c.bypass():
+            prefix += 1
+        if prefix <= 3:
+            suf = 0
+            for _ in range(rice):
+                suf = (suf << 1) | c.bypass()
+            return (prefix << rice) + suf
+        nbits = prefix - 3 + rice
+        suf = 0
+        for _ in range(nbits):
+            suf = (suf << 1) | c.bypass()
+        return (((1 << (prefix - 3)) + 3 - 1) << rice) + suf
+
+    def _sig_ctx(self, xc: int, yc: int, sx: int, sy: int, csbf, sb_n: int,
+                 log2size: int, cidx: int, scan_idx: int) -> int:
+        if log2size == 2:
+            sig = _CTX_IDX_MAP[(yc << 2) + xc]
+        elif xc + yc == 0:
+            sig = 0
+        else:
+            right = int(csbf[sy, sx + 1]) if sx + 1 < sb_n else 0
+            below = int(csbf[sy + 1, sx]) if sy + 1 < sb_n else 0
+            prev = right | (below << 1)
+            xp, yp = xc & 3, yc & 3
+            if prev == 0:
+                sig = 2 if xp + yp == 0 else (1 if xp + yp < 3 else 0)
+            elif prev == 1:
+                sig = 2 if yp == 0 else (1 if yp == 1 else 0)
+            elif prev == 2:
+                sig = 2 if xp == 0 else (1 if xp == 1 else 0)
+            else:
+                sig = 2
+            if cidx == 0:
+                if (sx, sy) != (0, 0):
+                    sig += 3
+                sig += (9 if scan_idx == 0 else 15) if log2size == 3 else 21
+            else:
+                sig += 9 if log2size == 3 else 12
+        return sig + (27 if cidx else 0)
+
+    # -- in-loop filters -----------------------------------------------------
+
+    def deblock(self) -> None:
+        hdr = self.cur_hdr
+        if hdr.deblocking_disabled:
+            return
+        for plane_pass in ("v", "h"):
+            self._deblock_luma(plane_pass)
+            self._deblock_chroma(plane_pass)
+
+    def _deblock_luma(self, direction: str) -> None:
+        hdr = self.cur_hdr
+        y = self.y
+        h, w = y.shape
+        beta_off = hdr.beta_offset_div2 * 2
+        tc_off = hdr.tc_offset_div2 * 2
+        bs_map = self.bs_ver if direction == "v" else self.bs_hor
+        edge_step = 8
+        if direction == "v":
+            xs = range(8, w, edge_step)
+        else:
+            xs = range(8, h, edge_step)
+        for e in xs:
+            if direction == "v":
+                nseg = h // 4
+                bss = bs_map[:, e // 4]
+            else:
+                nseg = w // 4
+                bss = bs_map[e // 4, :]
+            for s in range(nseg):
+                bs = int(bss[s])
+                if bs == 0:
+                    continue
+                if direction == "v":
+                    rows = slice(s * 4, s * 4 + 4)
+                    q = y[rows, e:e + 4]
+                    p = y[rows, e - 4:e][:, ::-1]
+                    qp_p = int(self.qp_map[s, (e - 1) // 4])
+                    qp_q = int(self.qp_map[s, e // 4])
+                else:
+                    cols = slice(s * 4, s * 4 + 4)
+                    q = y[e:e + 4, cols].T
+                    p = y[e - 4:e, cols][::-1].T
+                    qp_p = int(self.qp_map[(e - 1) // 4, s])
+                    qp_q = int(self.qp_map[e // 4, s])
+                qpl = (qp_p + qp_q + 1) >> 1
+                beta = _BETA[min(max(qpl + beta_off, 0), 51)]
+                tc = _TC[min(max(qpl + 2 * (bs - 1) + tc_off, 0), 53)]
+                np_, nq = self._filter_luma_segment(p.copy(), q.copy(),
+                                                    beta, tc)
+                if np_ is None:
+                    continue
+                if direction == "v":
+                    y[rows, e - 4:e] = np_[:, ::-1]
+                    y[rows, e:e + 4] = nq
+                else:
+                    y[e - 4:e, cols] = np_.T[::-1]
+                    y[e:e + 4, cols] = nq.T
+
+    @staticmethod
+    def _filter_luma_segment(p, q, beta, tc):
+        """p/q: [4 lines][4 samples], p[:,0] nearest the edge. 8.7.2.5."""
+        if tc == 0 and beta == 0:
+            return None, None
+        dp0 = abs(int(p[0, 2]) - 2 * int(p[0, 1]) + int(p[0, 0]))
+        dp3 = abs(int(p[3, 2]) - 2 * int(p[3, 1]) + int(p[3, 0]))
+        dq0 = abs(int(q[0, 2]) - 2 * int(q[0, 1]) + int(q[0, 0]))
+        dq3 = abs(int(q[3, 2]) - 2 * int(q[3, 1]) + int(q[3, 0]))
+        dpq0, dpq3 = dp0 + dq0, dp3 + dq3
+        d = dpq0 + dpq3
+        if d >= beta:
+            return None, None
+        strong = True
+        for i in (0, 3):
+            dpq = dpq0 if i == 0 else dpq3
+            if not (2 * dpq < (beta >> 2) and
+                    abs(int(p[i, 3]) - int(p[i, 0])) +
+                    abs(int(q[i, 0]) - int(q[i, 3])) < (beta >> 3) and
+                    abs(int(p[i, 0]) - int(q[i, 0])) < ((5 * tc + 1) >> 1)):
+                strong = False
+                break
+        P = p.astype(np.int32)
+        Q = q.astype(np.int32)
+        if strong:
+            np_, nq = P.copy(), Q.copy()
+            for i in range(4):
+                p0, p1, p2, p3 = (int(P[i, 0]), int(P[i, 1]), int(P[i, 2]),
+                                  int(P[i, 3]))
+                q0, q1, q2, q3 = (int(Q[i, 0]), int(Q[i, 1]), int(Q[i, 2]),
+                                  int(Q[i, 3]))
+                cl = lambda v, r: max(r - 2 * tc, min(r + 2 * tc, v))
+                np_[i, 0] = cl((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+                               p0)
+                np_[i, 1] = cl((p2 + p1 + p0 + q0 + 2) >> 2, p1)
+                np_[i, 2] = cl((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+                nq[i, 0] = cl((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3,
+                              q0)
+                nq[i, 1] = cl((p0 + q0 + q1 + q2 + 2) >> 2, q1)
+                nq[i, 2] = cl((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3, q2)
+            return np_, nq
+        # weak
+        dep = int(dp0 + dp3 < ((beta + (beta >> 1)) >> 3))
+        deq = int(dq0 + dq3 < ((beta + (beta >> 1)) >> 3))
+        np_, nq = P.copy(), Q.copy()
+        for i in range(4):
+            p0, p1, p2 = int(P[i, 0]), int(P[i, 1]), int(P[i, 2])
+            q0, q1, q2 = int(Q[i, 0]), int(Q[i, 1]), int(Q[i, 2])
+            delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+            if abs(delta) >= tc * 10:
+                continue
+            delta = max(-tc, min(tc, delta))
+            np_[i, 0] = min(255, max(0, p0 + delta))
+            nq[i, 0] = min(255, max(0, q0 - delta))
+            if dep:
+                dp = max(-(tc >> 1), min(tc >> 1,
+                         (((p2 + p0 + 1) >> 1) - p1 + delta) >> 1))
+                np_[i, 1] = min(255, max(0, p1 + dp))
+            if deq:
+                dq = max(-(tc >> 1), min(tc >> 1,
+                         (((q2 + q0 + 1) >> 1) - q1 - delta) >> 1))
+                nq[i, 1] = min(255, max(0, q1 + dq))
+        return np_, nq
+
+    def _deblock_chroma(self, direction: str) -> None:
+        hdr = self.cur_hdr
+        pps = self.pps
+        tc_off = hdr.tc_offset_div2 * 2
+        for plane, qpoff in ((self.cb, pps.cb_qp_offset + hdr.cb_qp_offset),
+                             (self.cr, pps.cr_qp_offset + hdr.cr_qp_offset)):
+            h, w = plane.shape
+            bs_map = self.bs_ver if direction == "v" else self.bs_hor
+            if direction == "v":
+                edges = range(8, w, 8)
+            else:
+                edges = range(8, h, 8)
+            for e in edges:
+                le = e * 2  # luma coordinate of the edge
+                nseg = (h if direction == "v" else w) // 4
+                for s in range(nseg):
+                    # chroma 4-sample segment at chroma rows s*4..; bS from
+                    # luma map (must be 2)
+                    ly4 = (s * 4 * 2) // 4
+                    if direction == "v":
+                        bs = int(self.bs_ver[ly4, le // 4])
+                    else:
+                        bs = int(self.bs_hor[le // 4, ly4])
+                    if bs < 2:
+                        continue
+                    if direction == "v":
+                        rows = slice(s * 4, s * 4 + 4)
+                        qq = plane[rows, e:e + 2]
+                        pp = plane[rows, e - 2:e][:, ::-1]
+                        qp_p = int(self.qp_map[(s * 4 * 2) // 4,
+                                               (le - 1) // 4])
+                        qp_q = int(self.qp_map[(s * 4 * 2) // 4, le // 4])
+                    else:
+                        cols = slice(s * 4, s * 4 + 4)
+                        qq = plane[e:e + 2, cols].T
+                        pp = plane[e - 2:e, cols][::-1].T
+                        qp_p = int(self.qp_map[(le - 1) // 4,
+                                               (s * 4 * 2) // 4])
+                        qp_q = int(self.qp_map[le // 4, (s * 4 * 2) // 4])
+                    qpl = (qp_p + qp_q + 1) >> 1
+                    qpc = TR.chroma_qp(qpl, qpoff)
+                    tc = _TC[min(max(qpc + 2 + tc_off, 0), 53)]
+                    if tc == 0:
+                        continue
+                    np_ = pp.astype(np.int32).copy()
+                    nq = qq.astype(np.int32).copy()
+                    for i in range(4):
+                        p0, p1 = int(pp[i, 0]), int(pp[i, 1])
+                        q0, q1 = int(qq[i, 0]), int(qq[i, 1])
+                        delta = max(-tc, min(tc,
+                                    ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3)))
+                        np_[i, 0] = min(255, max(0, p0 + delta))
+                        nq[i, 0] = min(255, max(0, q0 - delta))
+                    if direction == "v":
+                        plane[rows, e - 2:e] = np_[:, ::-1]
+                        plane[rows, e:e + 2] = nq
+                    else:
+                        plane[e - 2:e, cols] = np_.T[::-1]
+                        plane[e:e + 2, cols] = nq.T
+
+    # -- SAO ------------------------------------------------------------------
+
+    def sao(self) -> None:
+        hdr = self.cur_hdr
+        if not (hdr.sao_luma or hdr.sao_chroma):
+            return
+        pre = (self.y.copy(), self.cb.copy(), self.cr.copy())
+        for yc in range(self.ctb_h):
+            for xc in range(self.ctb_w):
+                p = self.sao_params[yc * self.ctb_w + xc]
+                if p is None:
+                    continue
+                for ci, (plane, src) in enumerate(
+                        ((self.y, pre[0]), (self.cb, pre[1]),
+                         (self.cr, pre[2]))):
+                    if p.type_idx[ci] == SAO_OFF:
+                        continue
+                    sh = 0 if ci == 0 else 1
+                    x0 = (xc << self.sps.log2_ctb) >> sh
+                    y0 = (yc << self.sps.log2_ctb) >> sh
+                    n = self.ctb >> sh
+                    h, w = plane.shape
+                    x1, y1 = min(x0 + n, w), min(y0 + n, h)
+                    blk = src[y0:y1, x0:x1].astype(np.int32)
+                    if p.type_idx[ci] == SAO_BAND:
+                        band = blk >> 3
+                        out = blk.copy()
+                        for k in range(4):
+                            b = (p.band_pos[ci] + k) & 31
+                            out[band == b] += p.offsets[ci][k]
+                        plane[y0:y1, x0:x1] = np.clip(out, 0, 255)
+                    else:
+                        eo = p.eo_class[ci]
+                        dx, dy = ((1, 0), (0, 1), (1, 1), (-1, 1))[eo]
+                        xa, ya = x0 - dx, y0 - dy
+                        xb, yb = x0 + dx, y0 + dy
+                        # neighbor windows (clamped; boundary samples are
+                        # excluded below)
+                        pad = np.pad(src, 1, mode="edge")
+                        na = pad[y0 - dy + 1:y1 - dy + 1,
+                                 x0 - dx + 1:x1 - dx + 1].astype(np.int32)
+                        nb = pad[y0 + dy + 1:y1 + dy + 1,
+                                 x0 + dx + 1:x1 + dx + 1].astype(np.int32)
+                        sgn = np.sign(blk - na) + np.sign(blk - nb)
+                        cat = np.array([1, 2, 0, 3, 4])[sgn + 2]
+                        offv = np.array([0] + p.offsets[ci], np.int32)
+                        out = blk + offv[cat]
+                        # exclude picture-boundary samples for this class
+                        ys, xs_ = np.mgrid[y0:y1, x0:x1]
+                        valid = ((xs_ + dx >= 0) & (xs_ + dx < w) &
+                                 (xs_ - dx >= 0) & (xs_ - dx < w) &
+                                 (ys + dy >= 0) & (ys + dy < h) &
+                                 (ys - dy >= 0) & (ys - dy < h))
+                        out = np.where(valid, out, blk)
+                        plane[y0:y1, x0:x1] = np.clip(out, 0, 255)
+
+    # -- output ---------------------------------------------------------------
+
+    def output(self, sps: HevcSPS):
+        w, h = sps.width, sps.height
+        return (self.y[:h, :w].astype(np.uint8),
+                self.cb[:h // 2, :w // 2].astype(np.uint8),
+                self.cr[:h // 2, :w // 2].astype(np.uint8))
