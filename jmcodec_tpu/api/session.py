@@ -95,8 +95,6 @@ class DecoderSession:
 
     def __init__(self, codec: Codec = Codec.H264, out_fmt: PixFmt = PixFmt.I420,
                  use_device: bool = True, use_native_parser: bool = True):
-        if codec == Codec.HEVC:
-            raise NotImplementedError("HEVC decode lands in a later round")
         self.codec = codec
         self.out_fmt = out_fmt
         self._buf = bytearray()
@@ -110,13 +108,14 @@ class DecoderSession:
         self._use_device = use_device
         self._parser = None
         self._refdec = None
-        if use_native_parser:
+        self._hevc_emitted = 0
+        if use_native_parser and codec == Codec.H264:
             try:
                 from ..codec.h264.fastdec import FastH264Parser
                 self._parser = FastH264Parser()
             except Exception:
                 self._parser = None
-        if self._parser is None:
+        if self._parser is None and codec == Codec.H264:
             from ..codec.h264.refdec import H264ReferenceDecoder
             self._refdec = H264ReferenceDecoder()
 
@@ -143,7 +142,7 @@ class DecoderSession:
     def set_eof(self) -> None:
         self._eof = True
         self._try_decode(flush=True)
-        if self._refdec is not None:
+        if self._refdec is not None and hasattr(self._refdec, "flush"):
             # drain the display-reorder buffer (B streams; parity with the
             # reference's EOF drain, intel_dec.cpp:851)
             for fr in self._refdec.flush():
@@ -233,21 +232,32 @@ class DecoderSession:
         starts = self._picture_starts(data)
         return starts[-1] if starts else -1
 
-    @staticmethod
-    def _picture_starts(data: bytes) -> List[int]:
+    def _picture_starts(self, data: bytes) -> List[int]:
         """Start-code offsets of every picture-initial slice NAL
-        (first_mb_in_slice == 0)."""
+        (H.264: first_mb_in_slice == 0; HEVC: first_slice_segment_in_pic)."""
         from ..codec.h264 import nal as NAL
         starts: List[int] = []
         for s, e in NAL.split_annexb(data):
-            typ = data[s] & 0x1F
-            if typ in (1, 5):
+            if self.codec == Codec.HEVC:
+                typ = (data[s] >> 1) & 0x3F
+                # slice NAL with first_slice_segment_in_pic_flag == 1 (the
+                # first RBSP bit after the 2-byte header)
+                if typ < 32 and s + 2 < len(data) and (data[s + 2] & 0x80):
+                    pass
+                else:
+                    continue
+            else:
+                typ = data[s] & 0x1F
                 # first_mb_in_slice == 0 <=> first ue bit pattern "1"
-                if s + 1 < len(data) and (data[s + 1] & 0x80):
-                    sc = s - 3
-                    if sc > 0 and data[sc - 1] == 0:
-                        sc -= 1
-                    starts.append(sc)
+                if typ in (1, 5) and s + 1 < len(data) and \
+                        (data[s + 1] & 0x80):
+                    pass
+                else:
+                    continue
+            sc = s - 3
+            if sc > 0 and data[sc - 1] == 0:
+                sc -= 1
+            starts.append(sc)
         return starts
 
     def _decode_chunk(self, chunk: bytes) -> None:
@@ -329,6 +339,8 @@ class DecoderSession:
                                np.asarray(V, np.int32)))
 
     def _decode_picture_host(self, pic: bytes) -> None:
+        if self.codec == Codec.HEVC:
+            return self._decode_picture_hevc(pic)
         dec = self._host_refdec()
         if not dec.sps and getattr(self, "_hdr_cache", None):
             pic = b"".join(self._hdr_cache.get(t, b"") for t in (7, 8)) + pic
@@ -339,19 +351,44 @@ class DecoderSession:
             self._frames.append(fr.crop(sps))
             self._meter.tick_frame()
 
+    def _decode_picture_hevc(self, pic: bytes) -> None:
+        """HEVC host decode path (all-intra scope of HevcRefDecoder).
+        Capability match: the reference's HEVC plugin path
+        (intel_dec/intel_dec.cpp:722-741, nv_dec/nv_dec.h:37-46)."""
+        if self._refdec is None:
+            from ..codec.hevc.refdec import HevcRefDecoder
+            self._refdec = HevcRefDecoder()
+        dec = self._refdec
+        if not dec.sps and getattr(self, "_hdr_cache", None):
+            pic = b"".join(self._hdr_cache.get(t, b"")
+                           for t in (32, 33, 34)) + pic
+        frames = dec.decode(pic)
+        for fr in frames[self._hevc_emitted:]:
+            sps = list(dec.sps.values())[0]
+            self._stream_info = (sps.width, sps.height)
+            self._frames.append(fr)
+            self._meter.tick_frame()
+        self._hevc_emitted = len(frames)
+
     def _cache_headers(self, chunk: bytes) -> None:
-        """Remember raw SPS/PPS NALs so a mid-stream fallback decoder can be
-        primed with parameter sets it never saw."""
+        """Remember raw parameter-set NALs so a mid-stream fallback decoder
+        can be primed with parameter sets it never saw."""
         from ..codec.h264 import nal as NAL
         for s, e in NAL.split_annexb(chunk):
-            typ = chunk[s] & 0x1F
-            if typ in (7, 8):
-                sc = s - 3
-                if sc > 0 and chunk[sc - 1] == 0:
-                    sc -= 1
-                if not hasattr(self, "_hdr_cache"):
-                    self._hdr_cache = {}
-                self._hdr_cache[typ] = chunk[sc:e]
+            if self.codec == Codec.HEVC:
+                typ = (chunk[s] >> 1) & 0x3F
+                if typ not in (32, 33, 34):  # VPS/SPS/PPS
+                    continue
+            else:
+                typ = chunk[s] & 0x1F
+                if typ not in (7, 8):
+                    continue
+            sc = s - 3
+            if sc > 0 and chunk[sc - 1] == 0:
+                sc -= 1
+            if not hasattr(self, "_hdr_cache"):
+                self._hdr_cache = {}
+            self._hdr_cache[typ] = chunk[sc:e]
 
 class EncoderParams:
     """Defaults-then-override config struct, parity with

@@ -83,3 +83,44 @@ def test_decoder_rejects_oversize_input():
     take = dec.input_data(b"\x00" * (INPUT_BUF_SIZE + 100))
     assert take == INPUT_BUF_SIZE
     assert not dec.need_more_data()
+
+
+def test_session_bitflip_recovery_corpus():
+    """Corrupt-vector corpus: flip bits inside the SECOND picture's slice
+    payload; the session must emit picture 1 and picture 3 bit-exactly
+    (per-picture containment + keyframe resync), never crash or hang."""
+    s, recons = _stream(3)
+    gops = split_gops(s)
+    rng = np.random.default_rng(1)
+    recovered = 0
+    for trial in range(8):
+        b = bytearray(s)
+        # flip inside picture 2's byte range, away from its slice header
+        lo, hi = gops[1][0] + 24, gops[1][1] - 1
+        pos = int(rng.integers(lo, hi))
+        b[pos] ^= 1 << int(rng.integers(0, 8))
+        dec = DecoderSession()
+        dec.input_data(bytes(b))
+        dec.set_eof()
+        got = []
+        while True:
+            fr = dec.get_frame()
+            if fr is None:
+                break
+            got.append(fr)
+        # picture 1 must always survive, bit-exact
+        assert len(got) >= 1
+        np.testing.assert_array_equal(got[0][0], recons[0][0])
+        # whatever came out after the corruption must be bit-exact too:
+        # either the corrupt picture decoded to legal-but-wrong pixels and
+        # was NOT emitted (contained), or it survived the flip entirely.
+        if len(got) == 3:
+            np.testing.assert_array_equal(got[2][0], recons[2][0])
+            recovered += 1
+        elif len(got) == 2:
+            np.testing.assert_array_equal(got[1][0], recons[2][0])
+            recovered += 1
+    # resync must actually recover the post-corruption keyframe in most
+    # trials (a bit flip can legally decode, but the IDR that follows must
+    # always come through)
+    assert recovered == 8

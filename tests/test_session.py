@@ -181,3 +181,30 @@ def test_decode_session_multi_picture_chunk_with_pcm_fallback():
     for (g, r) in zip(got, ref_frames):
         for a, b in zip(g, r):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not have_oracle(), reason="oracle unavailable")
+def test_decode_session_hevc_streaming():
+    """HEVC through the streaming session API (host recon path), chunked
+    feed, bit-exact vs libavcodec."""
+    from util_oracle import oracle_encode
+    W, H = 128, 64
+    frames = [make_frame(W, H, seed=i) for i in range(3)]
+    stream = oracle_encode(frames, W, H, qp=30, codec="libx265", gop=1)
+    want, _, _ = oracle_decode(stream, suffix=".h265")
+    dec = DecoderSession(Codec.HEVC, PixFmt.I420)
+    got = []
+    pos = 0
+    while not dec.is_exit():
+        if dec.need_more_data() and pos < len(stream):
+            pos += dec.input_data(stream[pos:pos + 999])
+        if pos >= len(stream):
+            dec.set_eof()
+        fr = dec.get_frame()
+        if fr is not None:
+            got.append(fr)
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        for a, b in zip(g, w):
+            np.testing.assert_array_equal(a, b)
+    assert dec.get_stream_info() == (W, H)
