@@ -109,6 +109,7 @@ class DecoderSession:
         self._parser = None
         self._refdec = None
         self._hevc_emitted = 0
+        self._hevc_plandec = None
         if use_native_parser and codec == Codec.H264:
             try:
                 from ..codec.h264.fastdec import FastH264Parser
@@ -352,9 +353,44 @@ class DecoderSession:
             self._meter.tick_frame()
 
     def _decode_picture_hevc(self, pic: bytes) -> None:
-        """HEVC host decode path (all-intra scope of HevcRefDecoder).
-        Capability match: the reference's HEVC plugin path
-        (intel_dec/intel_dec.cpp:722-741, nv_dec/nv_dec.h:37-46)."""
+        """HEVC decode: host entropy parse -> device recon kernel when the
+        picture plan is supported, else full host decode. Capability match:
+        the reference's HEVC plugin path (intel_dec/intel_dec.cpp:722-741,
+        nv_dec/nv_dec.h:37-46)."""
+        if self._use_device:
+            try:
+                return self._decode_picture_hevc_device(pic)
+            except NotImplementedError:
+                pass  # outside device-plan scope (multi-slice, ...)
+        self._decode_picture_hevc_host(pic)
+
+    def _decode_picture_hevc_device(self, pic: bytes) -> None:
+        from ..codec.hevc.refdec import HevcRefDecoder
+        if self._hevc_plandec is None:
+            self._hevc_plandec = HevcRefDecoder(plan_only=True)
+        dec = self._hevc_plandec
+        if not dec.sps and getattr(self, "_hdr_cache", None):
+            pic = b"".join(self._hdr_cache.get(t, b"")
+                           for t in (32, 33, 34)) + pic
+        n0 = len(dec.plans)
+        with timers.stage("host_parse"):
+            dec.decode(pic)
+        plans = dec.plans[n0:]
+        if any(not p.supported for p in plans):
+            del dec.plans[n0:]
+            raise NotImplementedError(
+                "; ".join(p.reason for p in plans if not p.supported))
+        from ..kernels.hevc_tiles import decode_plan
+        for plan in plans:
+            self._stream_info = (plan.width, plan.height)
+            with timers.stage("device_recon"):
+                Y, U, V = decode_plan(plan)
+            counters.add("frames_device")
+            self._frames.append((np.asarray(Y), np.asarray(U),
+                                 np.asarray(V)))
+            self._meter.tick_frame()
+
+    def _decode_picture_hevc_host(self, pic: bytes) -> None:
         if self._refdec is None:
             from ..codec.hevc.refdec import HevcRefDecoder
             self._refdec = HevcRefDecoder()

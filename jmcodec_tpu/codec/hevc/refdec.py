@@ -69,12 +69,19 @@ class SaoParam:
 
 
 class HevcRefDecoder:
-    """Streaming Annex-B HEVC decoder producing I420 frames."""
+    """Streaming Annex-B HEVC decoder producing I420 frames.
 
-    def __init__(self):
+    With plan_only=True the pixel math is skipped and each picture instead
+    yields a HevcFramePlan (self.plans) for the device recon kernel
+    (kernels/hevc_tiles.py) — the host keeps only the bit-serial entropy
+    stage, the TPU does everything after (SURVEY §7.2 L1a/L1b split)."""
+
+    def __init__(self, plan_only: bool = False):
         self.sps: Dict[int, HevcSPS] = {}
         self.pps: Dict[int, HevcPPS] = {}
         self.frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.plan_only = plan_only
+        self.plans: List = []
 
     # -- top level ----------------------------------------------------------
 
@@ -126,9 +133,21 @@ class HevcRefDecoder:
         if pps.cu_qp_delta_enabled:
             raise NotImplementedError("HEVC cu_qp_delta")
         w, h = sps.pic_width, sps.pic_height
-        self.pic = _Picture(sps, pps)
+        plan = None
+        if self.plan_only:
+            from .plan import HevcFramePlan
+            plan = HevcFramePlan.create(sps)
+        self.pic = _Picture(sps, pps, plan=plan)
         for hdr, rbsp, emu in slices:
             self._decode_slice(hdr, rbsp, emu)
+        if plan is not None:
+            ch, cw = self.pic.bs_ver.shape
+            plan.bs_ver[:ch, :cw] = self.pic.bs_ver
+            plan.bs_hor[:ch, :cw] = self.pic.bs_hor
+            plan.record_sao(self.pic.sao_params, self.pic.ctb_w,
+                            self.pic.ctb_h)
+            self.plans.append(plan)
+            return
         self.pic.deblock()
         self.pic.sao()
         y, u, v = self.pic.output(sps)
@@ -141,6 +160,8 @@ class HevcRefDecoder:
         pic = self.pic
         sps, pps = pic.sps, pic.pps
         pic.cur_hdr = hdr
+        if pic.plan is not None:
+            pic.plan.record_slice(hdr, pps)
         c = HevcCabac(rbsp, hdr.data_bitpos, hdr.qp, hdr.init_type)
         wpp = pps.entropy_coding_sync_enabled
         # substream start offsets (RBSP bytes) from entry points, which
@@ -191,8 +212,9 @@ class HevcRefDecoder:
 class _Picture:
     """Per-picture decode state and reconstruction."""
 
-    def __init__(self, sps: HevcSPS, pps: HevcPPS):
+    def __init__(self, sps: HevcSPS, pps: HevcPPS, plan=None):
         self.sps, self.pps = sps, pps
+        self.plan = plan
         w, h = sps.pic_width, sps.pic_height
         self.w, self.h = w, h
         self.ctb = 1 << sps.log2_ctb
@@ -446,11 +468,15 @@ class _Picture:
         # luma prediction + residual
         mode = self._luma_mode_at(x0, y0)
         res = None
+        coeffs = None
         if cbf_luma:
             scan = self._scan_idx(mode, log2size, 0)
             coeffs = self._residual(c, log2size, 0, scan)
-            d = TR.dequant(coeffs, qp, log2size)
-            res = TR.inverse_transform(d, log2size, dst=(log2size == 2))
+            if self.plan is None:
+                d = TR.dequant(coeffs, qp, log2size)
+                res = TR.inverse_transform(d, log2size, dst=(log2size == 2))
+        if self.plan is not None:
+            self.plan.record_luma_tu(x0, y0, n, mode, qp, coeffs)
         self._recon_intra(self.y, self.avail_y, x0, y0, n, mode, 0, res)
         # chroma at this node?
         if log2size > 2:
@@ -467,6 +493,7 @@ class _Picture:
         hdr = self.cur_hdr
         n = 1 << log2size
         mode = self.cu_cmode
+        plan_coeffs = [None, None]
         for cidx, (plane, cbf, off) in enumerate((
                 (self.cb, cbf_cb, pps.cb_qp_offset + hdr.cb_qp_offset),
                 (self.cr, cbf_cr, pps.cr_qp_offset + hdr.cr_qp_offset)),
@@ -475,12 +502,16 @@ class _Picture:
             if cbf:
                 scan = self._scan_idx(mode, log2size, cidx)
                 coeffs = self._residual(c, log2size, cidx, scan)
-                qpc = TR.chroma_qp(qp, off)
-                d = TR.dequant(coeffs, qpc, log2size)
-                res = TR.inverse_transform(d, log2size, dst=False)
+                plan_coeffs[cidx - 1] = coeffs
+                if self.plan is None:
+                    qpc = TR.chroma_qp(qp, off)
+                    d = TR.dequant(coeffs, qpc, log2size)
+                    res = TR.inverse_transform(d, log2size, dst=False)
             # cb and cr share one availability map: mark after cr only
             self._recon_intra(plane, self.avail_c, xc, yc, n, mode, cidx,
                               res, mark=(cidx == 2))
+        if self.plan is not None:
+            self.plan.record_chroma_tu(xc, yc, n, mode, *plan_coeffs)
 
     def _luma_mode_at(self, x0: int, y0: int) -> int:
         if not self.cu_part_nxn:
@@ -501,6 +532,12 @@ class _Picture:
     def _recon_intra(self, plane, avail, x0, y0, n, mode, cidx, res,
                      mark=True):
         sps = self.sps
+        if self.plan is not None:
+            # plan mode: parse-state bookkeeping only, pixels on the device
+            if mark:
+                g = 4
+                avail[y0 // g:(y0 + n) // g, x0 // g:(x0 + n) // g] = True
+            return
         left, tl, top = IP.gather_references(plane, avail, x0, y0, n)
         if cidx == 0:
             left, tl, top = IP.filter_references(

@@ -1,0 +1,740 @@
+"""HEVC device reconstruction: plan tensors in, decoded frame out.
+
+TPU-first structure (the reference performs all of this inside decode
+silicon, intel_dec/intel_dec.cpp:722-741 HEVC plugin; here it is explicit):
+
+  1. residuals   — per-TU-size batched dequant + inverse DCT/DST as exact
+                   integer matmul pairs (hi/lo split keeps f32 MXU exact),
+                   fully parallel over the frame
+  2. intra scan  — CTB-diagonal wavefront (the proven diagonal-tile pattern
+                   from the H.264 kernel, recon_tiles.py): lanes = CTB rows,
+                   one lax.scan step per diagonal, an in-step z-order walk
+                   over TU slots; prediction is gather-free (one-hot einsum
+                   over static per-mode selection tables); reference-sample
+                   availability is a zidx compare (z-scan order, 6.4.1)
+  3. deblock     — HEVC's 8px edge grid never overlaps filter windows, so
+                   both passes are whole-plane vectorized (no wavefront)
+  4. SAO         — per-CTB params broadcast to pixels, one vectorized pass
+
+Bit-exact vs the host reference decoder (codec/hevc/refdec.py) which is
+itself bit-exact vs libavcodec on x265 streams.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codec.hevc import intra as HIP
+from ..codec.hevc import transform as HTR
+from ..codec.hevc.plan import ZIDX_NONE
+
+# ---------------------------------------------------------------------------
+# phase 1: residuals (dequant + inverse transform, batched per size)
+# ---------------------------------------------------------------------------
+
+
+def _exact_int_matmul(a, m):
+    """a [..., n, n] int32 (|a| < 2^15ish), m [n, n] int32 (|m| <= 90):
+    exact int32 a @ m via hi/lo f32 split (keeps the MXU, stays exact:
+    each f32 dot is < 2^24)."""
+    a_hi = (a >> 8).astype(jnp.float32)
+    a_lo = (a & 0xFF).astype(jnp.float32)
+    mf = m.astype(jnp.float32)
+    hi = jnp.einsum("...ij,jk->...ik", a_hi, mf,
+                    preferred_element_type=jnp.float32)
+    lo = jnp.einsum("...ij,jk->...ik", a_lo, mf,
+                    preferred_element_type=jnp.float32)
+    return (hi.astype(jnp.int32) << 8) + lo.astype(jnp.int32)
+
+
+def _dequant_blocks(c, qp, log2):
+    """c [..., n, n] int32 levels, qp [...] int32 -> dequantized int32
+    (spec 8.6.3, flat scaling list m=16, 8-bit)."""
+    bd_shift = log2 + 3
+    ls = jnp.asarray(HTR.LEVEL_SCALE)[qp % 6][..., None, None]
+    s = (qp // 6)[..., None, None]
+    d1 = c * (ls * 16)                      # |d1| <= 2^15 * 72*16 < 2^26
+    # (d1 << s + 2^(bd_shift-1)) >> bd_shift, clipped to int16 range
+    k = s - bd_shift                        # in [-8, 3]
+    lo_path = (d1 + (1 << jnp.maximum(bd_shift - 1 - s, 0))) >> jnp.maximum(
+        -k, 0)
+    kp = jnp.maximum(k, 0)
+    hi_path = jnp.where(d1 >= (1 << (15 - kp)), 32767,
+                        jnp.where(d1 < -(1 << (15 - kp)), -32768, d1 << kp))
+    d = jnp.where(k >= 0, hi_path, jnp.clip(lo_path, -32768, 32767))
+    return d
+
+
+def _itransform_blocks(d, log2, dst: bool):
+    """Exact two-stage inverse transform (8.6.4.2) on [..., n, n] int32."""
+    m = jnp.asarray(HTR.DST4 if dst else HTR.DCT[1 << log2])
+    e = _exact_int_matmul(jnp.swapaxes(d, -1, -2), m)   # (M^T d)^T = d^T M
+    e = jnp.swapaxes(e, -1, -2)
+    e = jnp.clip((e + 64) >> 7, -32768, 32767)
+    r = _exact_int_matmul(e, m)
+    r = jnp.clip((r + 2048) >> 12, -32768, 32767)
+    return r
+
+
+def _residual_plane(coeff, qp_cell, tu_log2, luma: bool, sizes):
+    """coeff [Hp, Wp] int32, qp_cell/tu_log2 [Hp/4, Wp/4] -> residual plane
+    [Hp, Wp] int32 (zero where no TU / no coeffs)."""
+    Hp, Wp = coeff.shape
+    resid = jnp.zeros((Hp, Wp), jnp.int32)
+    for log2 in sizes:
+        n = 1 << log2
+        c4 = n // 4
+        blocks = coeff.reshape(Hp // n, n, Wp // n, n).transpose(0, 2, 1, 3)
+        qp_b = qp_cell[::c4, ::c4]
+        mask = (tu_log2[::c4, ::c4] == log2)
+        d = _dequant_blocks(blocks, qp_b, log2)
+        r = _itransform_blocks(d, log2, dst=(luma and log2 == 2))
+        r = jnp.where(mask[..., None, None], r, 0)
+        resid = resid + r.transpose(0, 2, 1, 3).reshape(Hp, Wp)
+    return resid
+
+
+# ---------------------------------------------------------------------------
+# prediction tables (static per TU size): reference layout is the
+# substitution-scan vector v[0..4n]: v[0]=p[-1][2n-1] (bottom-most left)
+# ... v[2n-1]=p[-1][0], v[2n]=corner, v[2n+1..4n]=p[0..2n-1][-1]
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _pred_tables(n: int):
+    """Returns numpy tables driving the angular prediction:
+      EXTSEL [35, 3n+2, 4n+1]  main-ref construction (incl. invAngle
+                                projection), one-hot over v
+      OFFSEL [35, n, 2n+1]     per-row window offset one-hot
+      FRAC   [35, n]           per-row fractional weight
+      ISHOR  [35]              horizontal family (output transposed)
+    """
+    L = 4 * n + 1
+    EXT = np.zeros((35, 3 * n + 2, L), np.float32)
+    OFF = np.zeros((35, n, 2 * n + 1), np.float32)
+    FRAC = np.zeros((35, n), np.int32)
+    ISHOR = np.zeros(35, bool)
+
+    def v_left(j):      # left[j] (downward) -> v index
+        return 2 * n - 1 - j
+
+    def v_top(i):
+        return 2 * n + 1 + i
+
+    V_CORNER = 2 * n
+    base = n + 1
+    for mode in range(2, 35):
+        ang = HIP.ANGLES[mode - 2]
+        hor = mode < 18
+        ISHOR[mode] = hor
+        # ref[base + i] = main[i]; main = top (vertical) or left (horizontal)
+        src = np.full(3 * n + 2, -1, np.int64)
+        for i in range(2 * n):
+            src[base + i] = v_left(i) if hor else v_top(i)
+        src[base - 1] = V_CORNER
+        if ang < 0:
+            inv = HIP.INV_ANGLE[ang]
+            lo = (n * ang) >> 5
+            for i in range(-1, lo - 1, -1):
+                j = min((i * inv + 128) >> 8, 2 * n - 1) - 1
+                if j < 0:
+                    src[base + i - 1] = V_CORNER
+                else:
+                    src[base + i - 1] = v_top(j) if hor else v_left(j)
+        for s in range(3 * n + 2):
+            if src[s] >= 0:
+                EXT[mode, s, src[s]] = 1.0
+        for y in range(n):
+            idx = ((y + 1) * ang) >> 5
+            FRAC[mode, y] = ((y + 1) * ang) & 31
+            OFF[mode, y, idx + n] = 1.0
+    return EXT, OFF, FRAC, ISHOR
+
+
+@functools.lru_cache(maxsize=8)
+def _filter_flags(n: int):
+    """FILT[35]: [1 2 1]-smoothing applies (8.4.4.2.3), luma only."""
+    if n == 4:
+        return np.zeros(35, bool)
+    log2 = n.bit_length() - 1
+    thr = HIP._FILTER_THRESH[log2]
+    f = np.zeros(35, bool)
+    for mode in range(35):
+        if mode == HIP.DC:
+            continue
+        if min(abs(mode - HIP.HOR), abs(mode - HIP.VER)) > thr:
+            f[mode] = True
+    return f
+
+
+def _substitute(v, amask, bit_depth=8):
+    """Reference-sample substitution (8.4.4.2.2), vectorized over lanes.
+    v [l, L] int32, amask [l, L] bool."""
+    L = v.shape[-1]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    prev = jax.lax.cummax(jnp.where(amask, idx, -1), axis=v.ndim - 1)
+    first = jnp.argmax(amask, axis=-1).astype(jnp.int32)  # first available
+    j_eff = jnp.where(prev >= 0, prev, first[..., None])
+    fill = jnp.take_along_axis(v, j_eff, axis=-1)
+    out = jnp.where(amask, v, fill)
+    any_avail = jnp.any(amask, axis=-1, keepdims=True)
+    return jnp.where(any_avail, out, 1 << (bit_depth - 1))
+
+
+def _filter_refs(v, n, strong_smoothing: bool):
+    """[1 2 1] smoothing + (n==32) strong bilinear variant (8.4.4.2.3).
+    Returns (v_121, strong_cond) — caller selects per lane/mode."""
+    sm = (jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(1, 1)], mode="edge")
+          [..., :-2] + 2 * v + jnp.pad(
+              v, [(0, 0)] * (v.ndim - 1) + [(1, 1)], mode="edge")[..., 2:]
+          + 2) >> 2
+    sm = sm.at[..., 0].set(v[..., 0]).at[..., -1].set(v[..., -1])
+    if n != 32 or not strong_smoothing:
+        return sm, jnp.zeros(v.shape[:-1], bool)
+    tl = v[..., 2 * n]
+    bl = v[..., 0]
+    tr = v[..., 4 * n]
+    t_mid = v[..., 2 * n + 1 + n - 1]
+    l_mid = v[..., 2 * n - 1 - (n - 1)]
+    thr = 1 << 3
+    cond = (jnp.abs(tl + tr - 2 * t_mid) < thr) & \
+           (jnp.abs(tl + bl - 2 * l_mid) < thr)
+    x = jnp.arange(2 * n - 1, dtype=jnp.int32)
+    # left: v[0..2n-1] runs bottom-up; host writes nl (downward) so
+    # nl[k] = ((2n-1-k)*tl + (k+1)*bl + 32) >> 6, v index = 2n-1-k
+    k = jnp.arange(2 * n, dtype=jnp.int32)
+    nl_down = ((2 * n - 1 - k) * tl[..., None] + (k + 1) * bl[..., None]
+               + 32) >> 6
+    nl_down = nl_down.at[..., 2 * n - 1].set(bl)
+    nt = ((2 * n - 1 - k) * tl[..., None] + (k + 1) * tr[..., None] + 32) >> 6
+    nt = nt.at[..., 2 * n - 1].set(tr)
+    strong = jnp.concatenate(
+        [nl_down[..., ::-1], tl[..., None], nt], axis=-1)
+    del x
+    return jnp.where(cond[..., None], strong, sm), cond
+
+
+def _predict(vf, mode, n: int, is_chroma: bool):
+    """All 35 modes on substituted(+filtered) refs vf [l, 4n+1] with per-lane
+    mode [l]. Returns pred [l, n, n] int32. vf must already be the correct
+    filter variant per lane (DC/10/26 never filter so vf==v for them)."""
+    EXT, OFF, FRAC, ISHOR = _pred_tables(n)
+    oh = jax.nn.one_hot(mode, 35, dtype=jnp.float32)          # [l, 35]
+    extsel = jnp.einsum("lm,msr->lsr", oh, jnp.asarray(EXT))   # [l, 3n+2, L]
+    ext = jnp.einsum("lsr,lr->ls", extsel,
+                     vf.astype(jnp.float32)).astype(jnp.int32)
+    # windows of length n+1 starting at 1..2n+1
+    win = jnp.stack([ext[:, s:s + n + 1] for s in range(1, 2 * n + 2)],
+                    axis=1)                                    # [l, 2n+1, n+1]
+    offsel = jnp.einsum("lm,myw->lyw", oh, jnp.asarray(OFF))   # [l, n, 2n+1]
+    seg = jnp.einsum("lyw,lwn->lyn", offsel,
+                     win.astype(jnp.float32)).astype(jnp.int32)
+    frac = jnp.einsum("lm,my->ly", oh,
+                      jnp.asarray(FRAC, np.float32)).astype(jnp.int32)
+    f = frac[..., None]
+    ang = ((32 - f) * seg[:, :, :n] + f * seg[:, :, 1:] + 16) >> 5
+    ishor = jnp.einsum("lm,m->l", oh,
+                       jnp.asarray(ISHOR, np.float32)) > 0.5
+    ang = jnp.where(ishor[:, None, None], jnp.swapaxes(ang, -1, -2), ang)
+
+    # planar (mode 0) — on vf (filtered for n>=8 luma)
+    xs = jnp.arange(n, dtype=jnp.int32)
+    left = vf[:, 2 * n - 1::-1][:, :n + 1]      # left[0..n] downward
+    top = vf[:, 2 * n + 1:][:, :n + 1]
+    log2 = n.bit_length() - 1
+    planar = ((n - 1 - xs)[None, None, :] * left[:, :n, None]
+              + (xs + 1)[None, None, :] * top[:, n][:, None, None]
+              + (n - 1 - xs)[None, :, None] * top[:, None, :n]
+              + (xs + 1)[None, :, None] * left[:, n][:, None, None]
+              + n) >> (log2 + 1)
+
+    # DC (mode 1) — always unfiltered (vf==v for DC lanes)
+    dc = (jnp.sum(vf[:, n:2 * n], axis=-1) + jnp.sum(
+        vf[:, 2 * n + 1:3 * n + 1], axis=-1) + n) >> (log2 + 1)
+    dcp = jnp.broadcast_to(dc[:, None, None], (vf.shape[0], n, n))
+    if not is_chroma and n < 32:
+        t_row = vf[:, 2 * n + 1:3 * n + 1]                    # top[0..n-1]
+        l_col = vf[:, 2 * n - 1:n - 1:-1]                     # left[0..n-1]
+        edge_t = (t_row + 3 * dc[:, None] + 2) >> 2
+        edge_l = (l_col + 3 * dc[:, None] + 2) >> 2
+        corner = (l_col[:, 0] + 2 * dc + t_row[:, 0] + 2) >> 2
+        dcp = dcp.at[:, 0, :].set(edge_t)
+        dcp = dcp.at[:, :, 0].set(edge_l)
+        dcp = dcp.at[:, 0, 0].set(corner)
+
+    out = jnp.where((mode == 0)[:, None, None], planar,
+                    jnp.where((mode == 1)[:, None, None], dcp, ang))
+
+    # pure vertical/horizontal edge filters (luma, n<32), clip to 8-bit
+    if not is_chroma and n < 32:
+        t_row = vf[:, 2 * n + 1:3 * n + 1]
+        l_col = vf[:, 2 * n - 1:n - 1:-1]
+        tl = vf[:, 2 * n]
+        ver_col = jnp.clip(((l_col - tl[:, None]) >> 1) + t_row[:, 0:1],
+                           0, 255)
+        hor_row = jnp.clip(((t_row - tl[:, None]) >> 1) + l_col[:, 0:1],
+                           0, 255)
+        out = jnp.where((mode == 26)[:, None, None],
+                        out.at[:, :, 0].set(ver_col), out)
+        out = jnp.where((mode == 10)[:, None, None],
+                        out.at[:, 0, :].set(hor_row), out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# phase 2: intra reconstruction scan (CTB-diagonal wavefront)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _skew_geometry(ctb_h: int, ctb_w: int, skew: int):
+    """Diagonal schedule d = cx + skew*cy, lane = cy. skew is chosen so every
+    CTB a TU can read from (left/top/top-left/top-right extensions) sits on
+    an earlier diagonal."""
+    n_steps = ctb_w + skew * (ctb_h - 1)
+    ks = np.arange(ctb_h)
+    cys = np.broadcast_to(ks[None, :], (n_steps, ctb_h)).astype(np.int32)
+    cxs = (np.arange(n_steps)[:, None] - skew * ks[None, :]).astype(np.int32)
+    valid = ((cxs >= 0) & (cxs < ctb_w)).astype(np.int32)
+    has_left = ((cxs > 0) & (cxs <= ctb_w)).astype(np.int32)
+    cxs = np.clip(cxs, 0, ctb_w - 1)
+    return cys, cxs, valid, has_left
+
+
+def _plane_to_ctb_tiles(plane, ctb_h, ctb_w, C):
+    return plane.reshape(ctb_h, C, ctb_w, C).transpose(0, 2, 1, 3)
+
+
+def _skew(arr, cys, cxs):
+    return arr[cys, cxs]
+
+
+def _unskew_to_plane(tiles, cys, cxs, valid, ctb_h, ctb_w, C):
+    flat = jnp.where(valid == 1, cys * ctb_w + cxs, ctb_h * ctb_w).reshape(-1)
+    out = jnp.zeros((ctb_h * ctb_w, C, C), tiles.dtype)
+    out = out.at[flat].set(tiles.reshape(-1, C, C), mode="drop")
+    return out.reshape(ctb_h, ctb_w, C, C).transpose(0, 2, 1, 3).reshape(
+        ctb_h * C, ctb_w * C)
+
+
+def _tu_candidate(F, Z, resid, tu_t, mode_t, x0, y0, n: int,
+                  C: int, is_chroma: bool, strong: bool):
+    """Evaluate one TU candidate of size n at dynamic in-CTB position
+    (x0, y0); write recon into the composite F where the tu map marks an
+    n-sized TU there. F: [B, 1+C+PB, WF]; Z: [B, 1+C4+PB4, WZ] (cell zidx
+    with the same +1 border); resid [B, C, C]; tu_t/mode_t [B, C4, C4]."""
+    B = F.shape[0]
+    n4 = n // 4
+    cx0, cy0 = x0 >> 2, y0 >> 2
+    log2 = n.bit_length() - 1
+
+    def dyn(a, start, sizes):
+        return jax.lax.dynamic_slice(a, start, sizes)
+
+    z_org = dyn(Z, (0, 1 + cy0, 1 + cx0), (B, 1, 1))[:, 0, 0]
+    # raw reference samples in substitution-scan order
+    lcol = dyn(F, (0, y0 + 1, x0), (B, 2 * n, 1))[..., 0]
+    corner = dyn(F, (0, y0, x0), (B, 1, 1))[:, 0, 0]
+    trow = dyn(F, (0, y0, x0 + 1), (B, 1, 2 * n))[:, 0]
+    v = jnp.concatenate([lcol[:, ::-1], corner[:, None], trow], axis=-1)
+    # availability: zidx of the covering recon event strictly earlier
+    zl = dyn(Z, (0, 1 + cy0, cx0), (B, 2 * n4, 1))[..., 0]
+    zt = dyn(Z, (0, cy0, 1 + cx0), (B, 1, 2 * n4))[:, 0]
+    zc = dyn(Z, (0, cy0, cx0), (B, 1, 1))[:, 0, 0]
+    a_l = jnp.repeat((zl < z_org[:, None])[:, ::-1], 4, axis=-1)
+    a_t = jnp.repeat(zt < z_org[:, None], 4, axis=-1)
+    amask = jnp.concatenate(
+        [a_l, (zc < z_org)[:, None], a_t], axis=-1)
+
+    vs = _substitute(v, amask)
+    if not is_chroma and n > 4:
+        v121, _ = _filter_refs(vs, n, strong)
+        filt = jnp.take(jnp.asarray(_filter_flags(n)),
+                        dyn(mode_t, (0, cy0, cx0), (B, 1, 1))[:, 0, 0])
+        vf = jnp.where(filt[:, None], v121, vs)
+    else:
+        vf = vs
+    mode = dyn(mode_t, (0, cy0, cx0), (B, 1, 1))[:, 0, 0]
+    pred = _predict(vf, mode, n, is_chroma)
+    rblk = dyn(resid, (0, y0, x0), (B, n, n))
+    rec = jnp.clip(pred + rblk, 0, 255)
+    active = dyn(tu_t, (0, cy0, cx0), (B, 1, 1))[:, 0, 0] == log2
+    cur = dyn(F, (0, y0 + 1, x0 + 1), (B, n, n))
+    new = jnp.where(active[:, None, None], rec, cur)
+    return jax.lax.dynamic_update_slice(F, new, (0, y0 + 1, x0 + 1))
+
+
+def _make_walk(C: int, max_tu: int, is_chroma: bool, strong: bool):
+    """Build the z-order TU-slot walk over one CTB tile: nested fori loops
+    from the largest candidate size down to 4, mirroring the quadtree's
+    z-scan so every dependency is already in F when read."""
+    T = min(C, max_tu)
+
+    def walk(F, Z, resid, tu_t, mode_t):
+        def level(sz):
+            def body_at(F, x0, y0):
+                F = _tu_candidate(F, Z, resid, tu_t, mode_t, x0, y0,
+                                  sz, C, is_chroma, strong)
+                if sz > 4:
+                    sub = level(sz // 2)
+
+                    def child(j, F):
+                        dx = (j & 1) << (sz.bit_length() - 2)
+                        dy = (j >> 1) << (sz.bit_length() - 2)
+                        return sub(F, x0 + dx, y0 + dy)
+                    F = jax.lax.fori_loop(0, 4, child, F)
+                return F
+            return body_at
+
+        top = level(T)
+        nt = C // T
+        if nt == 1:
+            return top(F, jnp.int32(0), jnp.int32(0))
+
+        def outer(i, F):
+            # z-order over the top-level slots (nt is 1 or 2: CTB<=64, T>=16)
+            x0 = (i & 1) * T
+            y0 = (i >> 1) * T
+            return top(F, x0, y0)
+        return jax.lax.fori_loop(0, nt * nt, outer, F)
+    return walk
+
+
+def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
+                C: int, skew: int, max_tu: int, is_chroma: bool,
+                strong: bool):
+    """resid_t [steps, B, C, C]; cell-grid tiles [steps, B, C/4, C/4];
+    valid/has_left [steps, B]. Returns recon tiles [steps, B, C, C]."""
+    n_steps, B = resid_t.shape[:2]
+    C4 = C // 4
+    PB = min(C, max_tu)           # bottom padding (below-left extension)
+    PB4 = PB // 4
+    e = skew - 1
+    WF = 1 + (1 + e) * C
+    WZ = 1 + (1 + e) * C4
+    # lane = cy (chroma stacks cb+cr, so the lane pattern tiles twice)
+    nlane = B // 2 if is_chroma else B
+    lane_has_top = jnp.asarray(np.tile(np.arange(nlane) > 0,
+                                       2 if is_chroma else 1))
+    walk = _make_walk(C, max_tu, is_chroma, strong)
+
+    def body(carry, xs):
+        Rpx, Rz, Cpx, Cz = carry
+        resid, zw, tu, mode, valid, has_left = xs
+        roll1 = lambda x: jnp.roll(x, 1, axis=0)
+        top_ext = jnp.concatenate(
+            [roll1(Rpx[skew - 1 - j]) for j in range(e + 1)], axis=-1)
+        ztop_ext = jnp.concatenate(
+            [roll1(Rz[skew - 1 - j]) for j in range(e + 1)], axis=-1)
+        tl_px = roll1(Rpx[skew])[:, -1]
+        tl_z = roll1(Rz[skew])[:, -1]
+        hl = has_left == 1
+
+        F = jnp.zeros((B, 1 + C + PB, WF), jnp.int32)
+        F = F.at[:, 0, 1:].set(top_ext)
+        F = F.at[:, 0, 0].set(tl_px)
+        F = F.at[:, 1:1 + C, 0].set(Cpx)
+        Z = jnp.full((B, 1 + C4 + PB4, WZ), ZIDX_NONE, jnp.int32)
+        Z = Z.at[:, 1:1 + C4, 1:1 + C4].set(zw)
+        Z = Z.at[:, 0, 1:].set(
+            jnp.where(lane_has_top[:, None], ztop_ext, ZIDX_NONE))
+        Z = Z.at[:, 1:1 + C4, 0].set(
+            jnp.where(hl[:, None], Cz, ZIDX_NONE))
+        Z = Z.at[:, 0, 0].set(
+            jnp.where(lane_has_top & hl, tl_z, ZIDX_NONE))
+
+        F = walk(F, Z, resid, tu, mode)
+        Yw = F[:, 1:1 + C, 1:1 + C]
+
+        vm = (valid == 1)
+        new_row = jnp.where(vm[:, None], Yw[:, C - 1, :], 0)
+        new_rz = jnp.where(vm[:, None], zw[:, C4 - 1, :], ZIDX_NONE)
+        Rpx2 = jnp.concatenate([new_row[None], Rpx[:-1]], axis=0)
+        Rz2 = jnp.concatenate([new_rz[None], Rz[:-1]], axis=0)
+        Cpx2 = jnp.where(vm[:, None], Yw[:, :, C - 1], 0)
+        Cz2 = jnp.where(vm[:, None], zw[:, :, C4 - 1], ZIDX_NONE)
+        return (Rpx2, Rz2, Cpx2, Cz2), Yw
+
+    carry0 = (jnp.zeros((skew + 1, B, C), jnp.int32),
+              jnp.full((skew + 1, B, C4), ZIDX_NONE, jnp.int32),
+              jnp.zeros((B, C), jnp.int32),
+              jnp.full((B, C4), ZIDX_NONE, jnp.int32))
+    _, ys = jax.lax.scan(body, carry0,
+                         (resid_t, zidx_t, tu_t, mode_t, valid_t,
+                          has_left_t))
+    return ys
+
+
+# ---------------------------------------------------------------------------
+# phase 3: deblocking (8.7.2) — whole-plane vectorized, V pass then H pass
+# ---------------------------------------------------------------------------
+
+_BETA_T = np.array([0] * 16 + [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17,
+                               18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38,
+                               40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60,
+                               62, 64], np.int32)
+_TC_T = np.array([0] * 18 + [1] * 9 + [2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 5,
+                                       5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16,
+                                       18, 20, 22, 24], np.int32)
+# chroma QP mapping (Table 8-10), as a dense 0..57 lookup
+_QPC_T = np.array([qpi if qpi < 30 else
+                   (qpi - 6 if qpi > 43 else
+                    [29, 30, 31, 32, 33, 33, 34, 34, 35, 35, 36, 36, 37, 37]
+                    [qpi - 30]) for qpi in range(58)], np.int32)
+
+
+def _deblock_luma_v(Y, bs_col, qp_p, qp_q, beta_off, tc_off):
+    """Filter all vertical luma edges at x=8,16,... in one shot.
+    Y [Hp, Wp]; bs_col/qp_p/qp_q [Hp/4, ne] per 4-row segment per edge."""
+    Hp, Wp = Y.shape
+    ne = Wp // 8 - 1
+    win = Y[:, 4:4 + ne * 8].reshape(Hp // 4, 4, ne, 8)
+    p = win[..., 3::-1]                      # [seg, line, edge, 4] p0..p3
+    q = win[..., 4:8]
+    qpl = (qp_p + qp_q + 1) >> 1             # [seg, edge]
+    beta = jnp.asarray(_BETA_T)[jnp.clip(qpl + beta_off, 0, 51)]
+    tc = jnp.asarray(_TC_T)[jnp.clip(qpl + 2 * (bs_col - 1) + tc_off, 0, 53)]
+
+    d2 = lambda a: jnp.abs(a[..., 2] - 2 * a[..., 1] + a[..., 0])
+    dp0, dp3 = d2(p[:, 0]), d2(p[:, 3])      # [seg, edge]
+    dq0, dq3 = d2(q[:, 0]), d2(q[:, 3])
+    dpq0, dpq3 = dp0 + dq0, dp3 + dq3
+    d = dpq0 + dpq3
+    act = (bs_col > 0) & (d < beta)
+
+    def strong_i(i):
+        dpq = dpq0 if i == 0 else dpq3
+        return ((2 * dpq < (beta >> 2)) &
+                (jnp.abs(p[:, i, :, 3] - p[:, i, :, 0]) +
+                 jnp.abs(q[:, i, :, 0] - q[:, i, :, 3]) < (beta >> 3)) &
+                (jnp.abs(p[:, i, :, 0] - q[:, i, :, 0]) <
+                 ((5 * tc + 1) >> 1)))
+    strong = strong_i(0) & strong_i(3)       # [seg, edge]
+
+    tc_l = tc[:, None, :]                    # broadcast over lines
+    p0, p1, p2, p3 = (p[..., 0], p[..., 1], p[..., 2], p[..., 3])
+    q0, q1, q2, q3 = (q[..., 0], q[..., 1], q[..., 2], q[..., 3])
+    cl = lambda v, r: jnp.clip(v, r - 2 * tc_l, r + 2 * tc_l)
+    sp0 = cl((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3, p0)
+    sp1 = cl((p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    sp2 = cl((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    sq0 = cl((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3, q0)
+    sq1 = cl((p0 + q0 + q1 + q2 + 2) >> 2, q1)
+    sq2 = cl((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3, q2)
+
+    # weak
+    delta0 = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    wact = jnp.abs(delta0) < tc_l * 10       # per line
+    delta = jnp.clip(delta0, -tc_l, tc_l)
+    wp0 = jnp.clip(p0 + delta, 0, 255)
+    wq0 = jnp.clip(q0 - delta, 0, 255)
+    side_thr = (beta + (beta >> 1)) >> 3
+    dep = (dp0 + dp3 < side_thr)[:, None, :]
+    deq = (dq0 + dq3 < side_thr)[:, None, :]
+    tch = tc_l >> 1
+    dpv = jnp.clip((((p2 + p0 + 1) >> 1) - p1 + delta) >> 1, -tch, tch)
+    dqv = jnp.clip((((q2 + q0 + 1) >> 1) - q1 - delta) >> 1, -tch, tch)
+    wp1 = jnp.clip(p1 + dpv, 0, 255)
+    wq1 = jnp.clip(q1 + dqv, 0, 255)
+
+    sm = (act & strong)[:, None, :]
+    wk = (act & ~strong)[:, None, :] & wact
+    np0 = jnp.where(sm, sp0, jnp.where(wk, wp0, p0))
+    np1 = jnp.where(sm, sp1, jnp.where(wk & dep, wp1, p1))
+    np2 = jnp.where(sm, sp2, p2)
+    nq0 = jnp.where(sm, sq0, jnp.where(wk, wq0, q0))
+    nq1 = jnp.where(sm, sq1, jnp.where(wk & deq, wq1, q1))
+    nq2 = jnp.where(sm, sq2, q2)
+    new = jnp.stack([p3, np2, np1, np0, nq0, nq1, nq2, q3], axis=-1)
+    flat = new.reshape(Hp, ne * 8)
+    return jnp.concatenate([Y[:, :4], flat, Y[:, 4 + ne * 8:]], axis=1)
+
+
+def _deblock_chroma_v(P, bs_col, qp_p, qp_q, qp_off, tc_off):
+    """P [Hc, Wc] one chroma plane; bs/qp per 4-row chroma segment per
+    edge (edges at chroma x=8,16,...)."""
+    Hc, Wc = P.shape
+    ne = Wc // 8 - 1
+    win = P[:, 6:6 + ne * 8].reshape(Hc // 4, 4, ne, 8)
+    p1, p0, q0, q1 = (win[..., 0], win[..., 1], win[..., 2], win[..., 3])
+    qpl = (qp_p + qp_q + 1) >> 1
+    qpc = jnp.asarray(_QPC_T)[jnp.clip(qpl + qp_off, 0, 57)]
+    tc = jnp.asarray(_TC_T)[jnp.clip(qpc + 2 + tc_off, 0, 53)]
+    act = ((bs_col >= 2) & (tc > 0))[:, None, :]
+    tc_l = tc[:, None, :]
+    delta = jnp.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc_l, tc_l)
+    np0 = jnp.where(act, jnp.clip(p0 + delta, 0, 255), p0)
+    nq0 = jnp.where(act, jnp.clip(q0 - delta, 0, 255), q0)
+    new = jnp.stack([p1, np0, nq0, q1], axis=-1)
+    flat = jnp.concatenate([new, win[..., 4:8]], axis=-1).reshape(Hc, ne * 8)
+    return jnp.concatenate([P[:, :6], flat, P[:, 6 + ne * 8:]], axis=1)
+
+
+def _deblock(Y, U, V, bs_ver, bs_hor, qp_cell, beta_off, tc_off,
+             cb_qp_off, cr_qp_off):
+    """Full HEVC deblock: luma+chroma V pass, then luma+chroma H pass."""
+    def luma_pass(Yp, bs_map, qp_map):
+        ne = Yp.shape[1] // 8 - 1
+        bs = bs_map[:, 2::2][:, :ne]
+        qpp = qp_map[:, 1::2][:, :ne]
+        qpq = qp_map[:, 2::2][:, :ne]
+        return _deblock_luma_v(Yp, bs, qpp, qpq, beta_off, tc_off)
+
+    def chroma_pass(Pp, bs_map, qp_map, off):
+        ne = Pp.shape[1] // 8 - 1
+        bs = bs_map[0::2, 4::4][:, :ne]
+        qpp = qp_map[0::2, 3::4][:, :ne]
+        qpq = qp_map[0::2, 4::4][:, :ne]
+        return _deblock_chroma_v(Pp, bs, qpp, qpq, off, tc_off)
+
+    Y = luma_pass(Y, bs_ver, qp_cell)
+    U = chroma_pass(U, bs_ver, qp_cell, cb_qp_off)
+    V = chroma_pass(V, bs_ver, qp_cell, cr_qp_off)
+    Y = luma_pass(Y.T, bs_hor.T, qp_cell.T).T
+    U = chroma_pass(U.T, bs_hor.T, qp_cell.T, cb_qp_off).T
+    V = chroma_pass(V.T, bs_hor.T, qp_cell.T, cr_qp_off).T
+    return Y, U, V
+
+
+# ---------------------------------------------------------------------------
+# phase 4: SAO (8.7.3) — per-CTB params broadcast to pixels
+# ---------------------------------------------------------------------------
+
+
+def _sao_plane(plane, typ, offs, band, eo, log2n: int, pw: int, ph: int):
+    """plane [H, W] post-deblock; typ/band/eo [ctbh, ctbw]; offs
+    [ctbh, ctbw, 4]. log2n = CTB size in THIS plane's coords."""
+    H, W = plane.shape
+    n = 1 << log2n
+    up = lambda a: jnp.repeat(jnp.repeat(a, n, 0), n, 1)[:H, :W]
+    T = up(typ)
+    B = up(band)
+    E = up(eo)
+    O = [up(offs[..., k]) for k in range(4)]
+    src = plane
+
+    # band offsets
+    b = src >> 3
+    badd = jnp.zeros_like(src)
+    for k in range(4):
+        badd = badd + jnp.where(b == ((B + k) & 31), O[k], 0)
+
+    # edge offsets, all 4 classes then select
+    pad = jnp.pad(src, 1, mode="edge")
+    ys_, xs_ = jnp.mgrid[0:H, 0:W]
+    eadd = jnp.zeros_like(src)
+    offv = jnp.stack([jnp.zeros_like(O[0]), O[0], O[1], O[2], O[3]], axis=0)
+    for c, (dx, dy) in enumerate(((1, 0), (0, 1), (1, 1), (-1, 1))):
+        na = pad[1 - dy:1 - dy + H, 1 - dx:1 - dx + W]
+        nb = pad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+        sgn = jnp.sign(src - na) + jnp.sign(src - nb)
+        cat = jnp.asarray([1, 2, 0, 3, 4])[sgn + 2]
+        add_c = jnp.take_along_axis(offv, cat[None], axis=0)[0]
+        valid = ((xs_ + dx >= 0) & (xs_ + dx < pw) & (xs_ - dx >= 0) &
+                 (xs_ - dx < pw) & (ys_ + dy >= 0) & (ys_ + dy < ph) &
+                 (ys_ - dy >= 0) & (ys_ - dy < ph))
+        eadd = jnp.where((E == c) & valid, add_c, eadd)
+
+    out = jnp.where(T == 1, jnp.clip(src + badd, 0, 255),
+                    jnp.where(T == 2, jnp.clip(src + eadd, 0, 255), src))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "Hp", "Wp", "log2_ctb", "strong", "deblock_on", "pw", "ph",
+    "width", "height"))
+def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
+                      deblock_on: bool, pw: int, ph: int,
+                      width: int, height: int,
+                      coeff_y, tu_y, mode_y, zidx_y, qp_y,
+                      coeff_cb, coeff_cr, tu_c, mode_c, zidx_c,
+                      cb_qp_off, cr_qp_off, beta_off, tc_off,
+                      bs_ver, bs_hor,
+                      sao_type, sao_offsets, sao_band, sao_eo):
+    """All-intra HEVC device decode from plan tensors -> (Y, U, V) uint8."""
+    C = 1 << log2_ctb
+    ctb_h, ctb_w = Hp // C, Wp // C
+    maxtb = min(32, C)
+    skew = 1 + (2 * maxtb + C - 1) // C     # top-right reach in CTBs + 1
+    cys, cxs, valid, has_left = _skew_geometry(ctb_h, ctb_w, skew)
+    cys_j, cxs_j = jnp.asarray(cys), jnp.asarray(cxs)
+    valid_j = jnp.asarray(valid)
+    hl_j = jnp.asarray(has_left)
+
+    # ---- residuals (batched matmuls) ----
+    resid_y = _residual_plane(coeff_y, qp_y, tu_y, True, (2, 3, 4, 5))
+    qpc_cb = jnp.asarray(_QPC_T)[jnp.clip(qp_y[::2, ::2] + cb_qp_off, 0, 57)]
+    qpc_cr = jnp.asarray(_QPC_T)[jnp.clip(qp_y[::2, ::2] + cr_qp_off, 0, 57)]
+    resid_cb = _residual_plane(coeff_cb, qpc_cb, tu_c, False, (2, 3, 4))
+    resid_cr = _residual_plane(coeff_cr, qpc_cr, tu_c, False, (2, 3, 4))
+
+    # ---- luma scan ----
+    t = lambda p, n: _skew(_plane_to_ctb_tiles(p, ctb_h, ctb_w, n),
+                           cys_j, cxs_j)
+    Yt = _intra_scan(t(resid_y, C), t(zidx_y, C // 4), t(tu_y, C // 4),
+                     t(mode_y, C // 4), valid_j, hl_j,
+                     C, skew, 32, is_chroma=False, strong=strong)
+    Y = _unskew_to_plane(Yt, cys_j, cxs_j, valid_j, ctb_h, ctb_w, C)
+
+    # ---- chroma scan (cb+cr stacked on the lane axis) ----
+    Cc = C // 2
+    cat2 = lambda a, b: jnp.concatenate([a, b], axis=1)
+    rc = cat2(t(resid_cb, Cc), t(resid_cr, Cc))
+    zc2 = cat2(t(zidx_c, Cc // 4), t(zidx_c, Cc // 4))
+    tc2 = cat2(t(tu_c, Cc // 4), t(tu_c, Cc // 4))
+    mc2 = cat2(t(mode_c, Cc // 4), t(mode_c, Cc // 4))
+    v2 = cat2(valid_j, valid_j)
+    h2 = cat2(hl_j, hl_j)
+    Ct = _intra_scan(rc, zc2, tc2, mc2, v2, h2,
+                     Cc, skew, 16, is_chroma=True, strong=False)
+    U = _unskew_to_plane(Ct[:, :ctb_h], cys_j, cxs_j, valid_j,
+                         ctb_h, ctb_w, Cc)
+    V = _unskew_to_plane(Ct[:, ctb_h:], cys_j, cxs_j, valid_j,
+                         ctb_h, ctb_w, Cc)
+
+    # ---- in-loop filters ----
+    if deblock_on:
+        Y, U, V = _deblock(Y, U, V, bs_ver, bs_hor, qp_y, beta_off, tc_off,
+                           cb_qp_off, cr_qp_off)
+    Y = _sao_plane(Y, sao_type[..., 0], sao_offsets[..., 0, :],
+                   sao_band[..., 0], sao_eo[..., 0], log2_ctb, pw, ph)
+    U = _sao_plane(U, sao_type[..., 1], sao_offsets[..., 1, :],
+                   sao_band[..., 1], sao_eo[..., 1], log2_ctb - 1,
+                   pw // 2, ph // 2)
+    V = _sao_plane(V, sao_type[..., 2], sao_offsets[..., 2, :],
+                   sao_band[..., 2], sao_eo[..., 2], log2_ctb - 1,
+                   pw // 2, ph // 2)
+
+    return (Y[:height, :width].astype(jnp.uint8),
+            U[:height // 2, :width // 2].astype(jnp.uint8),
+            V[:height // 2, :width // 2].astype(jnp.uint8))
+
+
+def decode_plan(plan):
+    """HevcFramePlan -> (Y, U, V) uint8 device arrays."""
+    if not plan.supported:
+        raise NotImplementedError(f"plan unsupported: {plan.reason}")
+    j = jnp.asarray
+    return decode_frame_hevc(
+        plan.Hp, plan.Wp, plan.log2_ctb, bool(plan.strong_smoothing),
+        not plan.deblock_disabled, plan.pw, plan.ph,
+        plan.width, plan.height,
+        j(plan.coeff_y), j(plan.tu_log2_y), j(plan.mode_y), j(plan.zidx_y),
+        j(plan.qp_y),
+        j(plan.coeff_cb), j(plan.coeff_cr), j(plan.tu_log2_c),
+        j(plan.mode_c), j(plan.zidx_c),
+        jnp.int32(plan.cb_qp_off), jnp.int32(plan.cr_qp_off),
+        jnp.int32(plan.beta_off), jnp.int32(plan.tc_off),
+        j(plan.bs_ver), j(plan.bs_hor),
+        j(plan.sao_type), j(plan.sao_offsets), j(plan.sao_band),
+        j(plan.sao_eo))
