@@ -157,6 +157,17 @@ def _pred_tables(n: int):
 
 
 @functools.lru_cache(maxsize=8)
+def _win_sel(n: int):
+    """Static one-hot [3n+2, (2n+1)(n+1)]: win[s, k] = ext[1 + s + k]."""
+    S = 3 * n + 2
+    W = np.zeros((S, (2 * n + 1) * (n + 1)), np.float32)
+    for s in range(2 * n + 1):
+        for k in range(n + 1):
+            W[1 + s + k, s * (n + 1) + k] = 1.0
+    return W
+
+
+@functools.lru_cache(maxsize=8)
 def _filter_flags(n: int):
     """FILT[35]: [1 2 1]-smoothing applies (8.4.4.2.3), luma only."""
     if n == 4:
@@ -174,14 +185,22 @@ def _filter_flags(n: int):
 
 def _substitute(v, amask, bit_depth=8):
     """Reference-sample substitution (8.4.4.2.2), vectorized over lanes.
-    v [l, L] int32, amask [l, L] bool."""
-    L = v.shape[-1]
-    idx = jnp.arange(L, dtype=jnp.int32)
-    prev = jax.lax.cummax(jnp.where(amask, idx, -1), axis=v.ndim - 1)
-    first = jnp.argmax(amask, axis=-1).astype(jnp.int32)  # first available
-    j_eff = jnp.where(prev >= 0, prev, first[..., None])
-    fill = jnp.take_along_axis(v, j_eff, axis=-1)
-    out = jnp.where(amask, v, fill)
+    v [l, L] int32, amask [l, L] bool.
+
+    Gather-free: nearest-available propagation as associative scans (a
+    take_along_axis here costs ~100x an elementwise op on TPU)."""
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    ax = v.ndim - 1
+    # forward: value of nearest available index <= j
+    fwd_v, fwd_f = jax.lax.associative_scan(comb, (v, amask), axis=ax)
+    # reverse: nearest available index >= j (fills the leading gap)
+    rev_v, _ = jax.lax.associative_scan(comb, (v, amask), axis=ax,
+                                        reverse=True)
+    out = jnp.where(fwd_f, fwd_v, rev_v)
     any_avail = jnp.any(amask, axis=-1, keepdims=True)
     return jnp.where(any_avail, out, 1 << (bit_depth - 1))
 
@@ -219,21 +238,21 @@ def _filter_refs(v, n, strong_smoothing: bool):
     return jnp.where(cond[..., None], strong, sm), cond
 
 
-def _predict(vf, mode, n: int, is_chroma: bool):
+def _predict(vf, mode, n: int, is_chroma: bool, oh=None):
     """All 35 modes on substituted(+filtered) refs vf [l, 4n+1] with per-lane
     mode [l]. Returns pred [l, n, n] int32. vf must already be the correct
     filter variant per lane (DC/10/26 never filter so vf==v for them)."""
     EXT, OFF, FRAC, ISHOR = _pred_tables(n)
-    oh = jax.nn.one_hot(mode, 35, dtype=jnp.float32)          # [l, 35]
+    if oh is None:
+        oh = jax.nn.one_hot(mode, 35, dtype=jnp.float32)      # [l, 35]
     extsel = jnp.einsum("lm,msr->lsr", oh, jnp.asarray(EXT))   # [l, 3n+2, L]
-    ext = jnp.einsum("lsr,lr->ls", extsel,
-                     vf.astype(jnp.float32)).astype(jnp.int32)
-    # windows of length n+1 starting at 1..2n+1
-    win = jnp.stack([ext[:, s:s + n + 1] for s in range(1, 2 * n + 2)],
-                    axis=1)                                    # [l, 2n+1, n+1]
+    ext = jnp.einsum("lsr,lr->ls", extsel, vf.astype(jnp.float32))
+    # windows of length n+1 starting at 1..2n+1, via one static one-hot
+    # matmul (a python stack of 2n+1 slices costs 2n+1 sequential ops)
+    win = (ext @ jnp.asarray(_win_sel(n))).reshape(
+        -1, 2 * n + 1, n + 1)                                  # [l, 2n+1, n+1]
     offsel = jnp.einsum("lm,myw->lyw", oh, jnp.asarray(OFF))   # [l, n, 2n+1]
-    seg = jnp.einsum("lyw,lwn->lyn", offsel,
-                     win.astype(jnp.float32)).astype(jnp.int32)
+    seg = jnp.einsum("lyw,lwn->lyn", offsel, win).astype(jnp.int32)
     frac = jnp.einsum("lm,my->ly", oh,
                       jnp.asarray(FRAC, np.float32)).astype(jnp.int32)
     f = frac[..., None]
@@ -352,15 +371,15 @@ def _tu_candidate(F, Z, resid, tu_t, mode_t, x0, y0, n: int,
         [a_l, (zc < z_org)[:, None], a_t], axis=-1)
 
     vs = _substitute(v, amask)
+    mode = dyn(mode_t, (0, cy0, cx0), (B, 1, 1))[:, 0, 0]
+    oh = jax.nn.one_hot(mode, 35, dtype=jnp.float32)
     if not is_chroma and n > 4:
         v121, _ = _filter_refs(vs, n, strong)
-        filt = jnp.take(jnp.asarray(_filter_flags(n)),
-                        dyn(mode_t, (0, cy0, cx0), (B, 1, 1))[:, 0, 0])
+        filt = (oh @ jnp.asarray(_filter_flags(n), np.float32)) > 0.5
         vf = jnp.where(filt[:, None], v121, vs)
     else:
         vf = vs
-    mode = dyn(mode_t, (0, cy0, cx0), (B, 1, 1))[:, 0, 0]
-    pred = _predict(vf, mode, n, is_chroma)
+    pred = _predict(vf, mode, n, is_chroma, oh=oh)
     rblk = dyn(resid, (0, y0, x0), (B, n, n))
     rec = jnp.clip(pred + rblk, 0, 255)
     active = dyn(tu_t, (0, cy0, cx0), (B, 1, 1))[:, 0, 0] == log2
@@ -369,23 +388,35 @@ def _tu_candidate(F, Z, resid, tu_t, mode_t, x0, y0, n: int,
     return jax.lax.dynamic_update_slice(F, new, (0, y0 + 1, x0 + 1))
 
 
-def _make_walk(C: int, max_tu: int, is_chroma: bool, strong: bool):
-    """Build the z-order TU-slot walk over one CTB tile: nested fori loops
-    from the largest candidate size down to 4, mirroring the quadtree's
-    z-scan so every dependency is already in F when read."""
+def _make_walk(C: int, max_tu: int, is_chroma: bool, strong: bool,
+               unroll_below: int = 8):
+    """Build the z-order TU-slot walk over one CTB tile: the quadtree's
+    z-scan as nested loops from the largest candidate size down to 4, so
+    every dependency is already in F when read.
+
+    Levels at size <= unroll_below are Python-unrolled: a TPU while-loop
+    iteration costs ~10us in loop bookkeeping alone, and the 4x4 level is
+    256 iterations per CTB — unrolling the two smallest levels cuts the
+    per-step iteration count from 340 to 20 at modest compile-size cost."""
     T = min(C, max_tu)
 
     def walk(F, Z, resid, tu_t, mode_t):
         def level(sz):
+            sub = None if sz == 4 else level(sz // 2)
+            h = sz // 2
+
             def body_at(F, x0, y0):
                 F = _tu_candidate(F, Z, resid, tu_t, mode_t, x0, y0,
                                   sz, C, is_chroma, strong)
-                if sz > 4:
-                    sub = level(sz // 2)
-
+                if sub is None:
+                    return F
+                if sz <= unroll_below:
+                    for j in range(4):
+                        F = sub(F, x0 + (j & 1) * h, y0 + (j >> 1) * h)
+                else:
                     def child(j, F):
-                        dx = (j & 1) << (sz.bit_length() - 2)
-                        dy = (j >> 1) << (sz.bit_length() - 2)
+                        dx = (j & 1) * h
+                        dy = (j >> 1) * h
                         return sub(F, x0 + dx, y0 + dy)
                     F = jax.lax.fori_loop(0, 4, child, F)
                 return F
@@ -407,9 +438,13 @@ def _make_walk(C: int, max_tu: int, is_chroma: bool, strong: bool):
 
 def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
                 C: int, skew: int, max_tu: int, is_chroma: bool,
-                strong: bool):
+                strong: bool, groups: int = 1):
     """resid_t [steps, B, C, C]; cell-grid tiles [steps, B, C/4, C/4];
-    valid/has_left [steps, B]. Returns recon tiles [steps, B, C, C]."""
+    valid/has_left [steps, B]. Returns recon tiles [steps, B, C, C].
+
+    The lane axis holds `groups` independent stacks of CTB rows (chroma
+    stacks cb+cr; frame batching stacks whole frames): the first lane of
+    each stack has no top neighbour."""
     n_steps, B = resid_t.shape[:2]
     C4 = C // 4
     PB = min(C, max_tu)           # bottom padding (below-left extension)
@@ -417,10 +452,9 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
     e = skew - 1
     WF = 1 + (1 + e) * C
     WZ = 1 + (1 + e) * C4
-    # lane = cy (chroma stacks cb+cr, so the lane pattern tiles twice)
-    nlane = B // 2 if is_chroma else B
-    lane_has_top = jnp.asarray(np.tile(np.arange(nlane) > 0,
-                                       2 if is_chroma else 1))
+    # lane = cy within each stack
+    nlane = B // groups
+    lane_has_top = jnp.asarray(np.tile(np.arange(nlane) > 0, groups))
     walk = _make_walk(C, max_tu, is_chroma, strong)
 
     def body(carry, xs):
@@ -696,7 +730,7 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     v2 = cat2(valid_j, valid_j)
     h2 = cat2(hl_j, hl_j)
     Ct = _intra_scan(rc, zc2, tc2, mc2, v2, h2,
-                     Cc, skew, 16, is_chroma=True, strong=False)
+                     Cc, skew, 16, is_chroma=True, strong=False, groups=2)
     U = _unskew_to_plane(Ct[:, :ctb_h], cys_j, cxs_j, valid_j,
                          ctb_h, ctb_w, Cc)
     V = _unskew_to_plane(Ct[:, ctb_h:], cys_j, cxs_j, valid_j,
@@ -718,6 +752,136 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     return (Y[:height, :width].astype(jnp.uint8),
             U[:height // 2, :width // 2].astype(jnp.uint8),
             V[:height // 2, :width // 2].astype(jnp.uint8))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "Hp", "Wp", "log2_ctb", "strong", "deblock_on", "pw", "ph",
+    "width", "height"))
+def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
+                             deblock_on: bool, pw: int, ph: int,
+                             width: int, height: int,
+                             coeff_y, tu_y, mode_y, zidx_y, qp_y,
+                             coeff_cb, coeff_cr, tu_c, mode_c, zidx_c,
+                             cb_qp_off, cr_qp_off, beta_off, tc_off,
+                             bs_ver, bs_hor,
+                             sao_type, sao_offsets, sao_band, sao_eo):
+    """Batched all-intra HEVC decode: every tensor carries a leading frame
+    axis [F, ...] (per-frame scalars are [F] int32). Frames are stacked on
+    the wavefront's lane axis, so the sequential scan depth is amortized
+    over the batch — this is the throughput shape for the sequential TU
+    walk (one frame alone exposes only ctb_h lanes of parallelism)."""
+    F = coeff_y.shape[0]
+    C = 1 << log2_ctb
+    ctb_h, ctb_w = Hp // C, Wp // C
+    maxtb = min(32, C)
+    skew = 1 + (2 * maxtb + C - 1) // C
+    cys, cxs, valid, has_left = _skew_geometry(ctb_h, ctb_w, skew)
+    cys_j, cxs_j = jnp.asarray(cys), jnp.asarray(cxs)
+    valid_j = jnp.asarray(valid)
+    hl_j = jnp.asarray(has_left)
+
+    # ---- residuals ----
+    resid_y = jax.vmap(lambda c, q, t: _residual_plane(
+        c, q, t, True, (2, 3, 4, 5)))(coeff_y, qp_y, tu_y)
+    qpc_cb = jnp.asarray(_QPC_T)[jnp.clip(
+        qp_y[:, ::2, ::2] + cb_qp_off[:, None, None], 0, 57)]
+    qpc_cr = jnp.asarray(_QPC_T)[jnp.clip(
+        qp_y[:, ::2, ::2] + cr_qp_off[:, None, None], 0, 57)]
+    rc_f = lambda c, q, t: _residual_plane(c, q, t, False, (2, 3, 4))
+    resid_cb = jax.vmap(rc_f)(coeff_cb, qpc_cb, tu_c)
+    resid_cr = jax.vmap(rc_f)(coeff_cr, qpc_cr, tu_c)
+
+    # ---- luma scan: frames stacked on the lane axis ----
+    def tf(planes, n):
+        # planes [F, hp, wp] -> skewed tiles [steps, F*ctb_h, n, n]
+        tiles = jax.vmap(lambda p: _skew(_plane_to_ctb_tiles(
+            p, ctb_h, ctb_w, n), cys_j, cxs_j))(planes)
+        return jnp.concatenate(list(tiles), axis=1)
+
+    catF = lambda a: jnp.concatenate([a] * F, axis=1)
+    Yt = _intra_scan(tf(resid_y, C), tf(zidx_y, C // 4), tf(tu_y, C // 4),
+                     tf(mode_y, C // 4), catF(valid_j), catF(hl_j),
+                     C, skew, 32, is_chroma=False, strong=strong, groups=F)
+    unsk = lambda t, n: _unskew_to_plane(t, cys_j, cxs_j, valid_j,
+                                         ctb_h, ctb_w, n)
+    Y = jnp.stack([unsk(Yt[:, f * ctb_h:(f + 1) * ctb_h], C)
+                   for f in range(F)])
+
+    # ---- chroma scan: F frames x (cb, cr) stacked ----
+    Cc = C // 2
+    rc = jnp.concatenate([tf(resid_cb, Cc), tf(resid_cr, Cc)], axis=1)
+    zcs = tf(zidx_c, Cc // 4)
+    tcs = tf(tu_c, Cc // 4)
+    mcs = tf(mode_c, Cc // 4)
+    cat2 = lambda a: jnp.concatenate([a, a], axis=1)
+    Ct = _intra_scan(rc, cat2(zcs), cat2(tcs), cat2(mcs),
+                     cat2(catF(valid_j)), cat2(catF(hl_j)),
+                     Cc, skew, 16, is_chroma=True, strong=False,
+                     groups=2 * F)
+    U = jnp.stack([unsk(Ct[:, f * ctb_h:(f + 1) * ctb_h], Cc)
+                   for f in range(F)])
+    V = jnp.stack([unsk(Ct[:, (F + f) * ctb_h:(F + f + 1) * ctb_h], Cc)
+                   for f in range(F)])
+
+    # ---- in-loop filters (vmapped over frames) ----
+    if deblock_on:
+        Y, U, V = jax.vmap(
+            lambda y, u, v, bv, bh, q, bo, to, cb, cr: _deblock(
+                y, u, v, bv, bh, q, bo, to, cb, cr)
+        )(Y, U, V, bs_ver, bs_hor, qp_y, beta_off, tc_off,
+          cb_qp_off, cr_qp_off)
+    sao_f = lambda pl, t, o, b, e, l2, w2, h2: jax.vmap(
+        lambda p, tt, oo, bb, ee: _sao_plane(p, tt, oo, bb, ee, l2, w2, h2)
+    )(pl, t, o, b, e)
+    Y = sao_f(Y, sao_type[..., 0], sao_offsets[..., 0, :],
+              sao_band[..., 0], sao_eo[..., 0], log2_ctb, pw, ph)
+    U = sao_f(U, sao_type[..., 1], sao_offsets[..., 1, :],
+              sao_band[..., 1], sao_eo[..., 1], log2_ctb - 1,
+              pw // 2, ph // 2)
+    V = sao_f(V, sao_type[..., 2], sao_offsets[..., 2, :],
+              sao_band[..., 2], sao_eo[..., 2], log2_ctb - 1,
+              pw // 2, ph // 2)
+
+    return (Y[:, :height, :width].astype(jnp.uint8),
+            U[:, :height // 2, :width // 2].astype(jnp.uint8),
+            V[:, :height // 2, :width // 2].astype(jnp.uint8))
+
+
+def stack_plans(plans):
+    """List of same-geometry HevcFramePlans -> the batched arg tuple for
+    decode_frames_hevc_batch."""
+    p0 = plans[0]
+    st = lambda f: jnp.asarray(np.stack([f(p) for p in plans]))
+    sc = lambda f: jnp.asarray(np.array([f(p) for p in plans], np.int32))
+    return ((p0.Hp, p0.Wp, p0.log2_ctb, bool(p0.strong_smoothing),
+             not p0.deblock_disabled, p0.pw, p0.ph, p0.width, p0.height) +
+            tuple(st(f) for f in (
+                lambda p: p.coeff_y, lambda p: p.tu_log2_y,
+                lambda p: p.mode_y, lambda p: p.zidx_y, lambda p: p.qp_y,
+                lambda p: p.coeff_cb, lambda p: p.coeff_cr,
+                lambda p: p.tu_log2_c, lambda p: p.mode_c,
+                lambda p: p.zidx_c)) +
+            (sc(lambda p: p.cb_qp_off), sc(lambda p: p.cr_qp_off),
+             sc(lambda p: p.beta_off), sc(lambda p: p.tc_off)) +
+            tuple(st(f) for f in (
+                lambda p: p.bs_ver, lambda p: p.bs_hor,
+                lambda p: p.sao_type, lambda p: p.sao_offsets,
+                lambda p: p.sao_band, lambda p: p.sao_eo)))
+
+
+def decode_plans_batch(plans):
+    """Same-geometry HevcFramePlans -> batched (Y, U, V) uint8 [F, h, w]."""
+    p0 = plans[0]
+    key = (p0.Hp, p0.Wp, p0.log2_ctb, p0.strong_smoothing,
+           p0.deblock_disabled, p0.width, p0.height)
+    for p in plans:
+        if not p.supported:
+            raise NotImplementedError(f"plan unsupported: {p.reason}")
+        if (p.Hp, p.Wp, p.log2_ctb, p.strong_smoothing,
+                p.deblock_disabled, p.width, p.height) != key:
+            raise NotImplementedError("mixed-geometry plan batch")
+    args = stack_plans(plans)
+    return decode_frames_hevc_batch(*args)
 
 
 def decode_plan(plan):
