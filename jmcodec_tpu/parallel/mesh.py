@@ -59,3 +59,10 @@ def frame_batch_spec(cfg: ShardingConfig) -> P:
 
 def shard_frames(mesh: Mesh, cfg: ShardingConfig, arr):
     return jax.device_put(arr, NamedSharding(mesh, frame_batch_spec(cfg)))
+
+
+def shard_batch(mesh: Mesh, cfg: ShardingConfig, arr):
+    """Shard the leading (frame) axis over EVERY device (dp and sp jointly);
+    all other axes replicated. Used by the real-kernel decode stage."""
+    spec = P((cfg.axis_dp, cfg.axis_sp), *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
