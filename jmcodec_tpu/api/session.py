@@ -433,7 +433,8 @@ class EncoderParams:
 
     def __init__(self, width=1920, height=1080, fps=30, bitrate_kb=2000,
                  gop_len=30, num_bframe=0, codec: Codec = Codec.H264,
-                 qp: Optional[int] = None, preset: str = "balanced"):
+                 qp: Optional[int] = None, preset: str = "balanced",
+                 rc_mode: str = "vbr", vbv_buffer_ms: int = 0):
         self.width = width
         self.height = height
         self.fps = fps
@@ -443,6 +444,10 @@ class EncoderParams:
         self.codec = codec
         self.qp = qp
         self.preset = preset
+        # rate control: "vbr" (QSV default, intel_enc.cpp:512), "cbr"
+        # (NVENC default, nv_enc.cpp:534-535), or "cqp" (fixed qp)
+        self.rc_mode = "cqp" if qp is not None else rc_mode
+        self.vbv_buffer_ms = vbv_buffer_ms
 
     def effective_qp(self) -> int:
         if self.qp is not None:
@@ -470,6 +475,18 @@ class EncoderSession:
             self.params.width, self.params.height,
             qp=self.params.effective_qp(),
             gop_len=max(1, self.params.gop_len)))
+        self._rc = None
+        if self.params.rc_mode in ("cbr", "vbr"):
+            from ..pipeline.ratecontrol import (RateControlConfig,
+                                                RateController)
+            self._rc = RateController(RateControlConfig(
+                bitrate_kbps=self.params.bitrate_kb,
+                fps=float(self.params.fps), mode=self.params.rc_mode,
+                buffer_ms=self.params.vbv_buffer_ms,
+                gop_len=max(1, self.params.gop_len),
+                init_qp=self.params.effective_qp()))
+        elif self.params.rc_mode != "cqp":
+            raise ValueError(f"rc_mode {self.params.rc_mode!r}")
         self._out: deque = deque()
         self._eof = False
         self._meter = _FpsMeter()
@@ -490,9 +507,14 @@ class EncoderSession:
             self._headers_sent = True
         is_key = (self._enc.cfg.gop_len <= 1
                   or self._enc.frame_idx % self._enc.cfg.gop_len == 0)
+        qp = None
+        if self._rc is not None:
+            qp = self._rc.frame_qp("I" if is_key else "P")
         nal = self._enc.encode_frame(np.asarray(Y, np.int32),
                                      np.asarray(U, np.int32),
-                                     np.asarray(V, np.int32))
+                                     np.asarray(V, np.int32), qp=qp)
+        if self._rc is not None:
+            self._rc.update("I" if is_key else "P", qp, len(nal) * 8)
         self._out.append((payload + nal, is_key))
         self._meter.tick_frame()
 

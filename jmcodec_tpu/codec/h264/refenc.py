@@ -80,12 +80,16 @@ class H264ReferenceEncoder:
 
     # ------------------------------------------------------------------
 
-    def encode_frame(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> bytes:
-        """Encode the next frame per the GOP structure (IDR or P)."""
+    def encode_frame(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray,
+                     qp: int = None) -> bytes:
+        """Encode the next frame per the GOP structure (IDR or P).
+        qp overrides cfg.qp for this frame (rate control hook); the delta
+        is carried in slice_qp_delta, parity with the RC the reference
+        delegates to silicon (intel_enc.cpp:512 VBR, nv_enc.cpp:534 CBR)."""
         if self.cfg.gop_len <= 1 or self.frame_idx % self.cfg.gop_len == 0:
-            out = self.encode_idr(Y, U, V)
+            out = self.encode_idr(Y, U, V, qp=qp)
         else:
-            out = self.encode_p(Y, U, V)
+            out = self.encode_p(Y, U, V, qp=qp)
         self.frame_idx += 1
         return out
 
@@ -96,13 +100,16 @@ class H264ReferenceEncoder:
         return (nal.write_nal_unit(3, nal.NAL_SPS, write_sps(self.sps)) +
                 nal.write_nal_unit(3, nal.NAL_PPS, write_pps(self.pps)))
 
-    def encode_idr(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> bytes:
+    def encode_idr(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray,
+                   qp: int = None) -> bytes:
         """Encode one IDR frame; returns the slice NAL (Annex-B)."""
+        qp = self.cfg.qp if qp is None else int(qp)
         Yp, Up, Vp = self._pad(Y), self._pad(U, c=True), self._pad(V, c=True)
         w = BitWriter()
         hdr = SliceHeader(
             slice_type=SLICE_I, frame_num=0, is_idr=True,
             idr_pic_id=self.idr_count & 1, nal_ref_idc=3,
+            slice_qp_delta=qp - self.pps.pic_init_qp,
             disable_deblocking_filter_idc=1 if self.cfg.disable_deblock else 0)
         self.idr_count += 1
         sw = write_slice_header(hdr, self.sps, self.pps)
@@ -111,7 +118,6 @@ class H264ReferenceEncoder:
         Yr = np.zeros((self.mbh * 16, self.mbw * 16), np.int32)
         Ur = np.zeros((self.mbh * 8, self.mbw * 8), np.int32)
         Vr = np.zeros((self.mbh * 8, self.mbw * 8), np.int32)
-        qp = self.cfg.qp
         lam = max(1, 1 << max(0, (qp - 12) // 6))
 
         for my in range(self.mbh):
@@ -132,8 +138,10 @@ class H264ReferenceEncoder:
         self.dpb = [RefPicture(0, Yr.copy(), Ur.copy(), Vr.copy())]
         return nal.write_nal_unit(3, nal.NAL_SLICE_IDR, sw.bytes())
 
-    def encode_p(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray) -> bytes:
+    def encode_p(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray,
+                 qp: int = None) -> bytes:
         """Encode one P frame (16x16 partitions + P_Skip + intra fallback)."""
+        qp = self.cfg.qp if qp is None else int(qp)
         Yp = self._pad(np.asarray(Y, np.int32))
         Up = self._pad(np.asarray(U, np.int32), c=True)
         Vp = self._pad(np.asarray(V, np.int32), c=True)
@@ -141,6 +149,7 @@ class H264ReferenceEncoder:
         hdr = SliceHeader(
             slice_type=SLICE_P, frame_num=self.frame_num, is_idr=False,
             nal_ref_idc=2, num_ref_idx_active_l0=1,
+            slice_qp_delta=qp - self.pps.pic_init_qp,
             disable_deblocking_filter_idc=1 if self.cfg.disable_deblock else 0)
         sw = write_slice_header(hdr, self.sps, self.pps)
 
@@ -149,7 +158,6 @@ class H264ReferenceEncoder:
         Yr = np.zeros((self.mbh * 16, self.mbw * 16), np.int32)
         Ur = np.zeros((self.mbh * 8, self.mbw * 8), np.int32)
         Vr = np.zeros((self.mbh * 8, self.mbw * 8), np.int32)
-        qp = self.cfg.qp
         lam = max(1, 1 << max(0, (qp - 12) // 6))
         refs = self.dpb[:1]
         refY, refU, refV = refs[0].padded()
