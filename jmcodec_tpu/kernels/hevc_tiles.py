@@ -389,15 +389,18 @@ def _tu_candidate(F, Z, resid, tu_t, mode_t, x0, y0, n: int,
 
 
 def _make_walk(C: int, max_tu: int, is_chroma: bool, strong: bool,
-               unroll_below: int = 8):
+               unroll_below: int = 64):
     """Build the z-order TU-slot walk over one CTB tile: the quadtree's
     z-scan as nested loops from the largest candidate size down to 4, so
     every dependency is already in F when read.
 
-    Levels at size <= unroll_below are Python-unrolled: a TPU while-loop
-    iteration costs ~10us in loop bookkeeping alone, and the 4x4 level is
-    256 iterations per CTB — unrolling the two smallest levels cuts the
-    per-step iteration count from 340 to 20 at modest compile-size cost."""
+    Levels at size <= unroll_below are Python-unrolled, INCLUDING the
+    top-level slot loop when it qualifies. Full unroll (the default) keeps
+    every slice offset a trace-time constant: with fori_loop the offsets
+    are traced scalars and every read/write in _tu_candidate lowers to the
+    TPU's dynamic-slice path, measured ~25x slower per candidate than
+    static slices (1080p all-intra: 0.28 fps traced vs the static unroll;
+    see bench history). Compile time pays for it once per geometry."""
     T = min(C, max_tu)
 
     def walk(F, Z, resid, tu_t, mode_t):
@@ -425,7 +428,15 @@ def _make_walk(C: int, max_tu: int, is_chroma: bool, strong: bool,
         top = level(T)
         nt = C // T
         if nt == 1:
+            if T <= unroll_below:
+                return top(F, 0, 0)
             return top(F, jnp.int32(0), jnp.int32(0))
+
+        if T <= unroll_below:
+            # static z-order over top-level slots: offsets stay Python ints
+            for i in range(nt * nt):
+                F = top(F, (i & 1) * T, (i >> 1) * T)
+            return F
 
         def outer(i, F):
             # z-order over the top-level slots (nt is 1 or 2: CTB<=64, T>=16)
