@@ -109,7 +109,6 @@ class DecoderSession:
         self._parser = None
         self._refdec = None
         self._hevc_emitted = 0
-        self._hevc_plandec = None
         if use_native_parser and codec == Codec.H264:
             try:
                 from ..codec.h264.fastdec import FastH264Parser
@@ -146,10 +145,17 @@ class DecoderSession:
         if self._refdec is not None and hasattr(self._refdec, "flush"):
             # drain the display-reorder buffer (B streams; parity with the
             # reference's EOF drain, intel_dec.cpp:851)
-            for fr in self._refdec.flush():
-                sps = list(self._refdec.sps.values())[0]
-                self._frames.append(fr.crop(sps))
-                self._meter.tick_frame()
+            if self.codec == Codec.HEVC:
+                frames = self._refdec.flush()
+                for fr in frames[self._hevc_emitted:]:
+                    self._frames.append(fr)
+                    self._meter.tick_frame()
+                self._hevc_emitted = len(frames)
+            else:
+                for fr in self._refdec.flush():
+                    sps = list(self._refdec.sps.values())[0]
+                    self._frames.append(fr.crop(sps))
+                    self._meter.tick_frame()
         self._drained = True
 
     # ---- output side ----
@@ -352,53 +358,32 @@ class DecoderSession:
             self._frames.append(fr.crop(sps))
             self._meter.tick_frame()
 
-    def _decode_picture_hevc(self, pic: bytes) -> None:
-        """HEVC decode: host entropy parse -> device recon kernel when the
-        picture plan is supported, else full host decode. Capability match:
-        the reference's HEVC plugin path (intel_dec/intel_dec.cpp:722-741,
-        nv_dec/nv_dec.h:37-46)."""
-        if self._use_device:
-            try:
-                return self._decode_picture_hevc_device(pic)
-            except NotImplementedError:
-                pass  # outside device-plan scope (multi-slice, ...)
-        self._decode_picture_hevc_host(pic)
-
-    def _decode_picture_hevc_device(self, pic: bytes) -> None:
-        from ..codec.hevc.refdec import HevcRefDecoder
-        if self._hevc_plandec is None:
-            self._hevc_plandec = HevcRefDecoder(plan_only=True)
-        dec = self._hevc_plandec
-        if not dec.sps and getattr(self, "_hdr_cache", None):
-            pic = b"".join(self._hdr_cache.get(t, b"")
-                           for t in (32, 33, 34)) + pic
-        n0 = len(dec.plans)
-        with timers.stage("host_parse"):
-            dec.decode(pic)
-        plans = dec.plans[n0:]
-        if any(not p.supported for p in plans):
-            del dec.plans[n0:]
-            raise NotImplementedError(
-                "; ".join(p.reason for p in plans if not p.supported))
+    def _hevc_device_recon(self, plan):
+        """device_recon hook for HevcRefDecoder: run the wavefront kernel
+        on the picture plan, return host coded-size planes for the DPB."""
         from ..kernels.hevc_tiles import decode_plan
-        for plan in plans:
-            self._stream_info = (plan.width, plan.height)
-            with timers.stage("device_recon"):
-                Y, U, V = decode_plan(plan)
-            counters.add("frames_device")
-            self._frames.append((np.asarray(Y), np.asarray(U),
-                                 np.asarray(V)))
-            self._meter.tick_frame()
+        with timers.stage("device_recon"):
+            Y, U, V = decode_plan(plan, coded=True)
+            out = (np.asarray(Y), np.asarray(U), np.asarray(V))
+        counters.add("frames_device")
+        return out
 
-    def _decode_picture_hevc_host(self, pic: bytes) -> None:
+    def _decode_picture_hevc(self, pic: bytes) -> None:
+        """HEVC decode: host entropy parse -> device recon kernel for
+        supported (intra) pictures, host recon otherwise; one shared
+        DPB/POC/reorder stream either way. Capability match: the
+        reference's HEVC plugin path (intel_dec/intel_dec.cpp:722-741,
+        nv_dec/nv_dec.h:37-46)."""
         if self._refdec is None:
             from ..codec.hevc.refdec import HevcRefDecoder
-            self._refdec = HevcRefDecoder()
+            self._refdec = HevcRefDecoder(
+                device_recon=self._hevc_device_recon
+                if self._use_device else None)
         dec = self._refdec
         if not dec.sps and getattr(self, "_hdr_cache", None):
             pic = b"".join(self._hdr_cache.get(t, b"")
                            for t in (32, 33, 34)) + pic
-        frames = dec.decode(pic)
+        frames = dec.decode(pic, flush=False)
         for fr in frames[self._hevc_emitted:]:
             sps = list(dec.sps.values())[0]
             self._stream_info = (sps.width, sps.height)

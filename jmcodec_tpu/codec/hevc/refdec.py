@@ -16,13 +16,38 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from . import intra as IP
+from . import inter as INT
 from . import nal as HN
 from . import transform as TR
 from .cabac import HevcCabac
 from . import cabac_tables as CT
+from .inter import MotionCand, RefPic
 from .params import HevcPPS, HevcSPS, parse_pps, parse_sps
 from .slicehdr import (B_SLICE, I_SLICE, P_SLICE, HevcSliceHeader,
                        parse_slice_header)
+
+MODE_INTER, MODE_INTRA = 0, 1
+(PART_2Nx2N, PART_2NxN, PART_Nx2N, PART_NxN,
+ PART_2NxnU, PART_2NxnD, PART_nLx2N, PART_nRx2N) = range(8)
+
+
+def _wrap16(v: int) -> int:
+    """MVs live in int16 with wraparound (8.5.3.2.1)."""
+    return ((v + 0x8000) & 0xFFFF) - 0x8000
+
+
+def _substream_offsets(hdr: "HevcSliceHeader", emu) -> List[int]:
+    """WPP substream start offsets in RBSP bytes, from entry points which
+    count EBSP bytes from the start of slice data (spec 7.4.7.1)."""
+    if not hdr.entry_points:
+        return []
+    emu = emu or []
+    start_r = hdr.data_bitpos >> 3
+    # ebsp offset of the slice-data start: i-th removed byte sits just
+    # before rbsp index emu[i]
+    start_e = start_r + sum(1 for p in emu if p <= start_r)
+    return [HN.ebsp_offset_to_rbsp(start_e + e_off, emu)
+            for e_off in hdr.entry_points]
 
 # ---------------------------------------------------------------------------
 # scan orders (spec 6.5.3-6.5.5); scanIdx: 0 diag(up-right), 1 hor, 2 ver
@@ -74,18 +99,122 @@ class HevcRefDecoder:
     With plan_only=True the pixel math is skipped and each picture instead
     yields a HevcFramePlan (self.plans) for the device recon kernel
     (kernels/hevc_tiles.py) — the host keeps only the bit-serial entropy
-    stage, the TPU does everything after (SURVEY §7.2 L1a/L1b split)."""
+    stage, the TPU does everything after (SURVEY §7.2 L1a/L1b split).
 
-    def __init__(self, plan_only: bool = False):
+    With device_recon set (a callable plan -> coded-size (Y, U, V) uint8
+    planes) supported intra pictures are reconstructed on the device and
+    inserted into the same DPB as host-decoded pictures, so intra/inter
+    pictures share one POC/reorder stream (the session uses this)."""
+
+    def __init__(self, plan_only: bool = False, device_recon=None,
+                 use_native: bool = True):
         self.sps: Dict[int, HevcSPS] = {}
         self.pps: Dict[int, HevcPPS] = {}
         self.frames: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self.plan_only = plan_only
+        self.device_recon = device_recon
+        self.use_native = use_native
         self.plans: List = []
+        # DPB + POC state (8.3.1 / 8.3.2)
+        self.dpb: List[RefPic] = []
+        self.prev_poc_lsb = 0
+        self.prev_poc_msb = 0
+        self.n_pictures = 0
+
+    # -- POC / DPB ------------------------------------------------------------
+
+    def _compute_poc(self, hdr: HevcSliceHeader, sps: HevcSPS) -> int:
+        if hdr.is_idr:
+            self.prev_poc_lsb = self.prev_poc_msb = 0
+            return 0
+        max_lsb = 1 << sps.log2_max_poc_lsb
+        lsb = hdr.poc_lsb
+        if self.n_pictures == 0:
+            msb = 0  # first picture is an anchor (NoRaslOutputFlag)
+        elif (lsb < self.prev_poc_lsb and
+                self.prev_poc_lsb - lsb >= max_lsb // 2):
+            msb = self.prev_poc_msb + max_lsb
+        elif (lsb > self.prev_poc_lsb and
+                lsb - self.prev_poc_lsb > max_lsb // 2):
+            msb = self.prev_poc_msb - max_lsb
+        else:
+            msb = self.prev_poc_msb
+        self.prev_poc_lsb, self.prev_poc_msb = lsb, msb
+        return msb + lsb
+
+    def _apply_rps(self, hdr: HevcSliceHeader, poc: int):
+        """Mark DPB references per the RPS; return (st_before, st_after)
+        POC lists for ref-list construction (8.3.2, short-term only)."""
+        keep = set()
+        before, after = [], []
+        if hdr.rps is not None:
+            for d, u in zip(hdr.rps.delta_poc_s0, hdr.rps.used_s0):
+                keep.add(poc + d)
+                if u:
+                    before.append(poc + d)
+            for d, u in zip(hdr.rps.delta_poc_s1, hdr.rps.used_s1):
+                keep.add(poc + d)
+                if u:
+                    after.append(poc + d)
+        for rp in self.dpb:
+            if rp.poc not in keep:
+                rp.is_reference = False
+        return before, after
+
+    def _pic_by_poc(self, poc: int) -> RefPic:
+        for rp in self.dpb:
+            if rp.poc == poc and rp.is_reference:
+                return rp
+        raise ValueError(f"reference POC {poc} missing from DPB")
+
+    def _ref_lists(self, hdr: HevcSliceHeader, before, after):
+        """RefPicList0/1 (8.3.4)."""
+        lists = []
+        npc = len(before) + len(after)
+        if npc == 0 and hdr.slice_type != I_SLICE:
+            raise ValueError("P/B slice with empty RPS")
+        for lx in range(2 if hdr.slice_type == B_SLICE else 1):
+            order = before + after if lx == 0 else after + before
+            n = hdr.num_ref_idx[lx]
+            tmp = [order[i % npc] for i in range(max(n, npc))]
+            if hdr.ref_list_mod[lx] is not None:
+                lst = [self._pic_by_poc(tmp[i])
+                       for i in hdr.ref_list_mod[lx]]
+            else:
+                lst = [self._pic_by_poc(p) for p in tmp[:n]]
+            lists.append(lst)
+        if hdr.slice_type != B_SLICE:
+            lists.append([])
+        return lists
+
+    def _emit(self, rp: RefPic) -> None:
+        rp.output_needed = False
+        w, h = rp.crop
+        self.frames.append((rp.y[:h, :w], rp.cb[:h // 2, :w // 2],
+                            rp.cr[:h // 2, :w // 2]))
+
+    def _bump(self, allowed: int) -> None:
+        while True:
+            pend = [rp for rp in self.dpb if rp.output_needed]
+            if len(pend) <= allowed:
+                break
+            self._emit(min(pend, key=lambda rp: rp.poc))
+            self.dpb = [rp for rp in self.dpb
+                        if rp.output_needed or rp.is_reference]
+
+    def flush(self) -> List[Tuple[np.ndarray, ...]]:
+        """Drain the reorder buffer (EOF)."""
+        self._bump(0)
+        self.dpb = [rp for rp in self.dpb if rp.is_reference]
+        return self.frames
 
     # -- top level ----------------------------------------------------------
 
-    def decode(self, data: bytes) -> List[Tuple[np.ndarray, ...]]:
+    def decode(self, data: bytes,
+               flush: bool = True) -> List[Tuple[np.ndarray, ...]]:
+        """Decode an Annex-B chunk. With flush=True (one-shot use) the
+        display-reorder buffer is drained at the end; streaming callers
+        pass flush=False and call flush() themselves at EOF."""
         au: List = []
         for u in HN.parse_nal_units(data):
             if u.nal_unit_type == HN.NAL_SPS:
@@ -105,7 +234,7 @@ class HevcRefDecoder:
                 au.append((hdr, u.rbsp, u.emu_positions))
         if au:
             self._decode_picture(au)
-        return self.frames
+        return self.flush() if flush else self.frames
 
     def _pps_probe(self, rbsp: bytes, nal_type: int) -> HevcPPS:
         from ...utils.bits import BitReader
@@ -124,34 +253,103 @@ class HevcRefDecoder:
         hdr0 = slices[0][0]
         pps = self.pps[hdr0.pps_id]
         sps = self.sps[pps.sps_id]
-        if hdr0.slice_type != I_SLICE:
-            raise NotImplementedError("HEVC inter slices")
         if sps.chroma_format_idc != 1 or sps.bit_depth_luma != 8:
             raise NotImplementedError("HEVC non-4:2:0/8-bit")
         if pps.tiles_enabled:
             raise NotImplementedError("HEVC tiles")
         if pps.cu_qp_delta_enabled:
             raise NotImplementedError("HEVC cu_qp_delta")
-        w, h = sps.pic_width, sps.pic_height
+        if hdr0.slice_type != I_SLICE and self.plan_only:
+            raise NotImplementedError("HEVC inter device plan")
+        if hdr0.is_idr:
+            # output everything pending, then an empty reference set
+            self._bump(0)
+            for rp in self.dpb:
+                rp.is_reference = False
+            self.dpb = []
+        poc = self._compute_poc(hdr0, sps)
+        self.n_pictures += 1
+        use_plan = self.plan_only or (
+            self.device_recon is not None and
+            all(h.slice_type == I_SLICE for h, _, _ in slices))
         plan = None
-        if self.plan_only:
+        if use_plan:
             from .plan import HevcFramePlan
             plan = HevcFramePlan.create(sps)
-        self.pic = _Picture(sps, pps, plan=plan)
-        for hdr, rbsp, emu in slices:
-            self._decode_slice(hdr, rbsp, emu)
-        if plan is not None:
-            ch, cw = self.pic.bs_ver.shape
-            plan.bs_ver[:ch, :cw] = self.pic.bs_ver
-            plan.bs_hor[:ch, :cw] = self.pic.bs_hor
-            plan.record_sao(self.pic.sao_params, self.pic.ctb_w,
-                            self.pic.ctb_h)
+        before, after = self._apply_rps(hdr0, poc)
+        planes = self._decode_picture_slices(slices, sps, pps, poc,
+                                             before, after, plan)
+        if self.plan_only:
             self.plans.append(plan)
             return
-        self.pic.deblock()
-        self.pic.sao()
-        y, u, v = self.pic.output(sps)
-        self.frames.append((y, u, v))
+        pic = self.pic
+        if planes is None:
+            pic.deblock()
+            pic.sao()
+            planes = (pic.y.astype(np.uint8), pic.cb.astype(np.uint8),
+                      pic.cr.astype(np.uint8))
+        # MC references use the full coded planes; output crops (conf window)
+        rp = RefPic(
+            poc=poc,
+            y=planes[0], cb=planes[1], cr=planes[2],
+            mv=pic.mv, ref_poc=pic.ref_poc, pred=pic.pred,
+            intra=pic.intra4,
+            output_needed=bool(hdr0.pic_output_flag))
+        rp.crop = (sps.width, sps.height)
+        self.dpb.append(rp)
+        self._bump(sps.num_reorder_pics)
+
+    def _decode_picture_slices(self, slices, sps, pps, poc, before, after,
+                               plan):
+        """Parse+reconstruct one picture's slices. Returns device-recon
+        coded-size planes, or None when reconstruction is on the host.
+        An unsupported plan falls back to a host re-decode (the slice
+        bytes are still at hand; entropy state is per-slice)."""
+        hdr0 = slices[0][0]
+        if (plan is not None and not self.plan_only and self.use_native
+                and len(slices) == 1 and hdr0.first_slice
+                and not hdr0.dependent):
+            # fast path: C++ CABAC/syntax parse straight into the plan
+            # tensors, Python keeps only headers + DPB bookkeeping
+            from ... import native
+            hdr, rbsp, emu = slices[0]
+            try:
+                plan.record_slice(hdr, pps)
+                native.hevc_fill_plan(plan, hdr, sps, pps, rbsp,
+                                      _substream_offsets(hdr, emu))
+                planes = self.device_recon(plan)
+                self.pic = _Picture(sps, pps, plan=plan)
+                self.pic.poc = poc
+                self.pic.intra4[:] = 1  # all-intra picture (DPB metadata)
+                return planes
+            except NotImplementedError:
+                from .plan import HevcFramePlan
+                plan = HevcFramePlan.create(sps)  # dirty tensors: rebuild
+        self.pic = _Picture(sps, pps, plan=plan)
+        self.pic.poc = poc
+        for hdr, rbsp, emu in slices:
+            if hdr.slice_type != I_SLICE:
+                self.pic.cur_refs = self._ref_lists(hdr, before, after)
+                self.pic.no_backward = all(
+                    rp.poc <= poc for lst in self.pic.cur_refs for rp in lst)
+            self._decode_slice(hdr, rbsp, emu)
+        self.pic.finish_bs()
+        if plan is None:
+            return None
+        ch, cw = self.pic.bs_ver.shape
+        plan.bs_ver[:ch, :cw] = self.pic.bs_ver
+        plan.bs_hor[:ch, :cw] = self.pic.bs_hor
+        plan.record_sao(self.pic.sao_params, self.pic.ctb_w, self.pic.ctb_h)
+        if self.plan_only:
+            return None
+        if plan.supported:
+            try:
+                return self.device_recon(plan)
+            except NotImplementedError:
+                pass
+        # outside device-plan scope (multi-slice, ...): host re-decode
+        return self._decode_picture_slices(slices, sps, pps, poc,
+                                           before, after, None)
 
     # -- slice --------------------------------------------------------------
 
@@ -164,18 +362,7 @@ class HevcRefDecoder:
             pic.plan.record_slice(hdr, pps)
         c = HevcCabac(rbsp, hdr.data_bitpos, hdr.qp, hdr.init_type)
         wpp = pps.entropy_coding_sync_enabled
-        # substream start offsets (RBSP bytes) from entry points, which
-        # count EBSP bytes from the start of slice data (spec 7.4.7.1)
-        substream_rbsp = []
-        if hdr.entry_points:
-            emu = emu or []
-            start_r = hdr.data_bitpos >> 3
-            # ebsp offset of the slice-data start: i-th removed byte sits
-            # just before rbsp index emu[i]
-            start_e = start_r + sum(1 for p in emu if p <= start_r)
-            for e_off in hdr.entry_points:
-                substream_rbsp.append(
-                    HN.ebsp_offset_to_rbsp(start_e + e_off, emu))
+        substream_rbsp = _substream_offsets(hdr, emu)
         ctb_w = pic.ctb_w
         addr = hdr.segment_address
         saved = None
@@ -236,6 +423,23 @@ class _Picture:
         # deblock edge bS maps at 4x4 granularity (luma coords)
         self.bs_ver = np.zeros(self.avail_y.shape, np.int8)
         self.bs_hor = np.zeros(self.avail_y.shape, np.int8)
+        # inter state, per 4x4 luma cell
+        cell = self.avail_y.shape
+        self.poc = 0
+        self.cur_refs: List[List] = [[], []]       # RefPicList0/1 per slice
+        self.mv = np.zeros((2,) + cell + (2,), np.int32)
+        self.ref_idx = np.full((2,) + cell, -1, np.int32)
+        self.ref_poc = np.zeros((2,) + cell, np.int32)
+        self.pred = np.zeros((2,) + cell, np.uint8)     # predFlagLX
+        self.intra4 = np.zeros(cell, np.uint8)
+        self.skip4 = np.zeros(cell, np.uint8)
+        self.mot_done = np.zeros(cell, bool)      # PU motion parsed+stored
+        self.cbf4 = np.zeros(cell, np.uint8)      # luma cbf of covering TU
+        self.tu_edge_ver = np.zeros(cell, bool)   # TU left-edge at cell
+        self.tu_edge_hor = np.zeros(cell, bool)
+        self.pu_edge_ver = np.zeros(cell, bool)   # PU/CU left-edge at cell
+        self.pu_edge_hor = np.zeros(cell, bool)
+        self.no_backward = True                   # all refs POC <= curr
         self.slice_id = np.full((self.ctb_h, self.ctb_w), -1, np.int32)
         self.cur_slice = 0
         self.sao_params: List[Optional[SaoParam]] = [None] * (
@@ -326,21 +530,493 @@ class _Picture:
         else:
             self._coding_unit(c, x0, y0, log2size, depth)
 
-    # -- coding unit (intra) -------------------------------------------------
+    # -- coding unit -----------------------------------------------------------
 
     def _coding_unit(self, c: HevcCabac, x0: int, y0: int, log2size: int,
                      depth: int) -> None:
         sps, pps = self.sps, self.pps
+        n = 1 << log2size
+        g = 4
+        ys = slice(y0 // g, (y0 + n) // g)
+        xs = slice(x0 // g, (x0 + n) // g)
+        self.ct_depth[ys, xs] = depth
+        self.qp_map[ys, xs] = self.cur_hdr.qp
         if pps.transquant_bypass_enabled:
             if c.decode(CT.CU_TRANSQUANT_BYPASS):
                 raise NotImplementedError("transquant bypass")
         if self.cur_hdr.slice_type != I_SLICE:
-            raise NotImplementedError("inter CU")
+            ctx = 0
+            if x0 > 0 and self.avail_y[y0 // g, (x0 - 1) // g]:
+                ctx += int(self.skip4[y0 // g, (x0 - 1) // g])
+            if y0 > 0 and self.avail_y[(y0 - 1) // g, x0 // g]:
+                ctx += int(self.skip4[(y0 - 1) // g, x0 // g])
+            if c.decode(CT.SKIP_FLAG + ctx):
+                self.skip4[ys, xs] = 1
+                self.cu_pred_mode = MODE_INTER
+                self._prediction_unit(c, x0, y0, n, x0, y0, n, n, 0,
+                                      PART_2Nx2N, skip=True)
+                self._mark_cu_edges(x0, y0, n)
+                return
+            if not c.decode(CT.PRED_MODE_FLAG):
+                self._inter_cu(c, x0, y0, log2size, depth)
+                return
+        self._intra_cu(c, x0, y0, log2size, depth)
+
+    def _mark_cu_edges(self, x0: int, y0: int, n: int) -> None:
+        g = 4
+        self.pu_edge_ver[y0 // g:(y0 + n) // g, x0 // g] = True
+        self.pu_edge_hor[y0 // g, x0 // g:(x0 + n) // g] = True
+        # CB boundaries are transform-block edges for deblocking (8.7.2.2)
+        # even when the CU codes no residual (rqt_root_cbf == 0)
+        self.tu_edge_ver[y0 // g:(y0 + n) // g, x0 // g] = True
+        self.tu_edge_hor[y0 // g, x0 // g:(x0 + n) // g] = True
+
+    # -- inter coding unit (7.3.8.5 MODE_INTER path) ---------------------------
+
+    def _part_mode_inter(self, c: HevcCabac, log2size: int) -> int:
+        sps = self.sps
+        if c.decode(CT.PART_MODE):
+            return PART_2Nx2N
+        at_min = log2size == sps.log2_min_cb
+        hor = c.decode(CT.PART_MODE + 1)
+        if at_min:
+            if hor:
+                return PART_2NxN
+            if log2size == 3:
+                return PART_Nx2N
+            return PART_Nx2N if c.decode(CT.PART_MODE + 2) else PART_NxN
+        if not sps.amp_enabled:
+            return PART_2NxN if hor else PART_Nx2N
+        if c.decode(CT.PART_MODE + 3):
+            return PART_2NxN if hor else PART_Nx2N
+        amp_second = c.bypass()
+        if hor:
+            return PART_2NxnD if amp_second else PART_2NxnU
+        return PART_nRx2N if amp_second else PART_nLx2N
+
+    @staticmethod
+    def _pu_geometry(part: int, x0: int, y0: int, n: int):
+        h, q = n >> 1, n >> 2
+        if part == PART_2Nx2N:
+            return [(x0, y0, n, n)]
+        if part == PART_2NxN:
+            return [(x0, y0, n, h), (x0, y0 + h, n, h)]
+        if part == PART_Nx2N:
+            return [(x0, y0, h, n), (x0 + h, y0, h, n)]
+        if part == PART_NxN:
+            return [(x0, y0, h, h), (x0 + h, y0, h, h),
+                    (x0, y0 + h, h, h), (x0 + h, y0 + h, h, h)]
+        if part == PART_2NxnU:
+            return [(x0, y0, n, q), (x0, y0 + q, n, n - q)]
+        if part == PART_2NxnD:
+            return [(x0, y0, n, n - q), (x0, y0 + n - q, n, q)]
+        if part == PART_nLx2N:
+            return [(x0, y0, q, n), (x0 + q, y0, n - q, n)]
+        return [(x0, y0, n - q, n), (x0 + n - q, y0, q, n)]
+
+    def _inter_cu(self, c: HevcCabac, x0: int, y0: int, log2size: int,
+                  depth: int) -> None:
+        sps = self.sps
+        n = 1 << log2size
+        self.cu_pred_mode = MODE_INTER
+        # part_mode is always coded for inter CUs (7.3.8.5)
+        part = self._part_mode_inter(c, log2size)
+        first_merge = False
+        for idx, (xp, yp, w, h) in enumerate(self._pu_geometry(
+                part, x0, y0, n)):
+            m = self._prediction_unit(c, x0, y0, n, xp, yp, w, h, idx, part,
+                                      skip=False)
+            if idx == 0:
+                first_merge = m
+        self._mark_cu_edges(x0, y0, n)
+        if part != PART_2Nx2N:
+            g = 4
+            for (xp, yp, w, h) in self._pu_geometry(part, x0, y0, n)[1:]:
+                self.pu_edge_ver[yp // g:(yp + h) // g, xp // g] = True
+                self.pu_edge_hor[yp // g, xp // g:(xp + w) // g] = True
+        rqt_root_cbf = 1
+        if not (part == PART_2Nx2N and first_merge):
+            rqt_root_cbf = c.decode(CT.NO_RESIDUAL_DATA)
+        if rqt_root_cbf:
+            inter_split = (sps.max_transform_hierarchy_depth_inter == 0 and
+                           part != PART_2Nx2N)
+            self.cu_x0, self.cu_y0, self.cu_log2 = x0, y0, log2size
+            self._transform_tree(
+                c, x0, y0, x0, y0, log2size, 0, 0,
+                sps.max_transform_hierarchy_depth_inter, inter_split, 1, 1)
+
+    # -- prediction unit (7.3.8.6) ----------------------------------------------
+
+    def _prediction_unit(self, c: HevcCabac, xcb: int, ycb: int, ncb: int,
+                         xp: int, yp: int, w: int, h: int, part_idx: int,
+                         part: int, skip: bool) -> bool:
+        hdr = self.cur_hdr
+        max_merge = 5 - hdr.five_minus_max_num_merge_cand
+        is_b = hdr.slice_type == B_SLICE
+        merge = True
+        if not skip:
+            merge = bool(c.decode(CT.MERGE_FLAG))
+        if merge:
+            midx = 0
+            if max_merge > 1:
+                if c.decode(CT.MERGE_IDX):
+                    midx = 1
+                    while midx < max_merge - 1 and c.bypass():
+                        midx += 1
+            cand = self._merge_cands(xcb, ycb, ncb, xp, yp, w, h,
+                                     part_idx, part, midx)
+            pred, mv = cand.pred, list(cand.mv)
+            ref_idx = list(cand.ref_idx)
+            if pred == INT.PRED_BI and w + h == 12:
+                pred, ref_idx[1] = INT.PRED_L0, -1  # 8x4/4x8 can't bi-pred
+        else:
+            if is_b:
+                if w + h != 12:
+                    depth = int(self.ct_depth[yp // 4, xp // 4])
+                    if c.decode(CT.INTER_PRED_IDC + depth):
+                        pred = INT.PRED_BI
+                    else:
+                        pred = (INT.PRED_L1
+                                if c.decode(CT.INTER_PRED_IDC + 4)
+                                else INT.PRED_L0)
+                else:
+                    pred = (INT.PRED_L1 if c.decode(CT.INTER_PRED_IDC + 4)
+                            else INT.PRED_L0)
+            else:
+                pred = INT.PRED_L0
+            mv = [(0, 0), (0, 0)]
+            ref_idx = [-1, -1]
+            for lx in (0, 1):
+                if not (pred & (1 << lx)):
+                    continue
+                nref = hdr.num_ref_idx[lx]
+                ridx = 0
+                if nref > 1:
+                    # ref_idx contexts are shared between lists (spec 9.3.4.2
+                    # Table 9-4: one ctx set for ref_idx_lX)
+                    base = CT.REF_IDX_L0
+                    if c.decode(base):
+                        ridx = 1
+                        if nref > 2 and c.decode(base + 1):
+                            ridx = 2
+                            while ridx < nref - 1 and c.bypass():
+                                ridx += 1
+                ref_idx[lx] = ridx
+                if lx == 1 and hdr.mvd_l1_zero and pred == INT.PRED_BI:
+                    mvd = (0, 0)
+                else:
+                    mvd = self._mvd_coding(c)
+                mvp_flag = c.decode(CT.MVP_LX_FLAG)
+                mvp = self._amvp(xcb, ycb, ncb, xp, yp, w, h, part_idx,
+                                 part, lx, ridx)[mvp_flag]
+                # 16-bit wraparound (spec 8.5.3.2.1)
+                mv[lx] = (_wrap16(mvp[0] + mvd[0]), _wrap16(mvp[1] + mvd[1]))
+        # store the motion field + reconstruct (MC)
+        g = 4
+        ys = slice(yp // g, (yp + h) // g)
+        xs = slice(xp // g, (xp + w) // g)
+        for lx in (0, 1):
+            on = bool(pred & (1 << lx))
+            self.pred[lx, ys, xs] = int(on)
+            self.mv[lx, ys, xs] = mv[lx] if on else (0, 0)
+            self.ref_idx[lx, ys, xs] = ref_idx[lx] if on else -1
+            self.ref_poc[lx, ys, xs] = (
+                self.cur_refs[lx][ref_idx[lx]].poc if on else 0)
+        self.mot_done[ys, xs] = True
+        self.intra4[ys, xs] = 0
+        wp = None
+        if hdr.wp is not None:
+            wp = (hdr.wp, hdr.luma_denom, hdr.chroma_denom)
+        py, pcb, pcr = INT.predict_pu(self.cur_refs, xp, yp, w, h, pred,
+                                      mv, ref_idx, wp=wp)
+        self.y[yp:yp + h, xp:xp + w] = py
+        self.cb[yp >> 1:(yp + h) >> 1, xp >> 1:(xp + w) >> 1] = pcb
+        self.cr[yp >> 1:(yp + h) >> 1, xp >> 1:(xp + w) >> 1] = pcr
+        self.avail_y[ys, xs] = True
+        self.avail_c[yp // (2 * g):(yp + h) // (2 * g),
+                     xp // (2 * g):(xp + w) // (2 * g)] = True
+        return merge
+
+    def _mvd_coding(self, c: HevcCabac):
+        # HM context organisation: greater0 at slot +0, greater1 at slot +1
+        # (see native/gen_hevc_tables.py LAYOUT notes)
+        g0x = c.decode(CT.ABS_MVD_GREATER0)
+        g0y = c.decode(CT.ABS_MVD_GREATER0)
+        g1x = c.decode(CT.ABS_MVD_GREATER1 + 1) if g0x else 0
+        g1y = c.decode(CT.ABS_MVD_GREATER1 + 1) if g0y else 0
+        out = []
+        for g0, g1 in ((g0x, g1x), (g0y, g1y)):
+            if not g0:
+                out.append(0)
+                continue
+            v = 1
+            if g1:
+                v = 2 + self._eg_bypass(c, 1)
+            out.append(-v if c.bypass() else v)
+        return (out[0], out[1])
+
+    @staticmethod
+    def _eg_bypass(c: HevcCabac, k: int) -> int:
+        prefix = 0
+        while c.bypass():
+            prefix += 1
+        suf = 0
+        for _ in range(prefix + k):
+            suf = (suf << 1) | c.bypass()
+        return (((1 << prefix) - 1) << k) + suf
+
+    # -- motion candidate derivation -------------------------------------------
+
+    def _cell_motion(self, cx: int, cy: int) -> MotionCand:
+        m = MotionCand()
+        for lx in (0, 1):
+            if self.pred[lx, cy, cx]:
+                m.pred |= 1 << lx
+                m.mv[lx] = (int(self.mv[lx, cy, cx, 0]),
+                            int(self.mv[lx, cy, cx, 1]))
+                m.ref_idx[lx] = int(self.ref_idx[lx, cy, cx])
+        return m
+
+    def _pb_avail(self, x: int, y: int) -> bool:
+        """Spatial neighbour availability for merge/AMVP: inside picture,
+        motion parsed (z-scan earlier, 6.4.1/6.4.2), not intra."""
+        if x < 0 or y < 0 or x >= self.w or y >= self.h:
+            return False
+        cx, cy = x // 4, y // 4
+        return bool(self.mot_done[cy, cx]) and not self.intra4[cy, cx]
+
+    def _merge_cands(self, xcb: int, ycb: int, ncb: int, xp: int, yp: int,
+                     w: int, h: int, part_idx: int, part: int,
+                     want_idx: int) -> MotionCand:
+        hdr = self.cur_hdr
+        max_merge = 5 - hdr.five_minus_max_num_merge_cand
+        is_b = hdr.slice_type == B_SLICE
+        cands: List[MotionCand] = []
+
+        def done():
+            return len(cands) > want_idx or len(cands) >= max_merge
+
+        # A1 (xp-1, yp+h-1)
+        a1 = None
+        if not (part in (PART_Nx2N, PART_nLx2N, PART_nRx2N)
+                and part_idx == 1):
+            if self._pb_avail(xp - 1, yp + h - 1):
+                a1 = self._cell_motion((xp - 1) // 4, (yp + h - 1) // 4)
+                cands.append(a1)
+        # B1 (xp+w-1, yp-1)
+        b1 = None
+        if not done() and not (part in (PART_2NxN, PART_2NxnU, PART_2NxnD)
+                               and part_idx == 1):
+            if self._pb_avail(xp + w - 1, yp - 1):
+                b1 = self._cell_motion((xp + w - 1) // 4, (yp - 1) // 4)
+                if a1 is None or not b1.same_motion(a1):
+                    cands.append(b1)
+        # B0 (xp+w, yp-1)
+        if not done() and self._pb_avail(xp + w, yp - 1):
+            b0 = self._cell_motion((xp + w) // 4, (yp - 1) // 4)
+            if b1 is None or not b0.same_motion(b1):
+                cands.append(b0)
+        # A0 (xp-1, yp+h)
+        if not done() and self._pb_avail(xp - 1, yp + h):
+            a0 = self._cell_motion((xp - 1) // 4, (yp + h) // 4)
+            if a1 is None or not a0.same_motion(a1):
+                cands.append(a0)
+        # B2 (xp-1, yp-1), only if fewer than 4 spatial so far
+        if not done() and len(cands) < 4 and self._pb_avail(xp - 1, yp - 1):
+            b2 = self._cell_motion((xp - 1) // 4, (yp - 1) // 4)
+            if ((a1 is None or not b2.same_motion(a1)) and
+                    (b1 is None or not b2.same_motion(b1))):
+                cands.append(b2)
+        # temporal (TMVP), ref idx 0
+        if not done() and hdr.temporal_mvp:
+            t = MotionCand()
+            mv0, ok0 = self._tmvp(xcb, ycb, xp, yp, w, h, 0, 0)
+            if ok0:
+                t.pred |= 1
+                t.mv[0] = mv0
+                t.ref_idx[0] = 0
+            if is_b:
+                mv1, ok1 = self._tmvp(xcb, ycb, xp, yp, w, h, 1, 0)
+                if ok1:
+                    t.pred |= 2
+                    t.mv[1] = mv1
+                    t.ref_idx[1] = 0
+            if t.pred:
+                cands.append(t)
+        # combined bi-predictive (B slices, 8.5.3.2.4)
+        if is_b and not done() and len(cands) > 1:
+            norig = len(cands)
+            for k in range(norig * (norig - 1)):
+                if done():
+                    break
+                i0, i1 = INT.COMB_L0[k], INT.COMB_L1[k]
+                if i0 >= norig or i1 >= norig:
+                    break
+                c0, c1 = cands[i0], cands[i1]
+                if not (c0.pred & 1) or not (c1.pred & 2):
+                    continue
+                p0 = self.cur_refs[0][c0.ref_idx[0]].poc
+                p1 = self.cur_refs[1][c1.ref_idx[1]].poc
+                if p0 == p1 and c0.mv[0] == c1.mv[1]:
+                    continue
+                m = MotionCand()
+                m.pred = INT.PRED_BI
+                m.mv = [c0.mv[0], c1.mv[1]]
+                m.ref_idx = [c0.ref_idx[0], c1.ref_idx[1]]
+                cands.append(m)
+        # zero candidates
+        nrefs = (min(hdr.num_ref_idx[0], hdr.num_ref_idx[1])
+                 if is_b else hdr.num_ref_idx[0])
+        zidx = 0
+        while not done():
+            m = MotionCand()
+            r = zidx if zidx < nrefs else 0
+            m.pred = INT.PRED_BI if is_b else INT.PRED_L0
+            m.ref_idx = [r, r if is_b else -1]
+            cands.append(m)
+            zidx += 1
+        return cands[want_idx]
+
+    def _tmvp(self, xcb: int, ycb: int, xp: int, yp: int, w: int, h: int,
+              lx: int, ref_idx: int):
+        """Temporal MV prediction (8.5.3.2.7/8.5.3.2.8). Returns (mv, ok)."""
+        hdr = self.cur_hdr
+        col_list = 0 if hdr.collocated_from_l0 else 1
+        if not self.cur_refs[col_list]:
+            return (0, 0), False
+        col = self.cur_refs[col_list][hdr.collocated_ref_idx]
+        target_poc = self.cur_refs[lx][ref_idx].poc
+        # bottom-right H position, then the centre fallback
+        for which in ("br", "c"):
+            if which == "br":
+                xc, yc = xp + w, yp + h
+                if (ycb >> self.sps.log2_ctb) != (yc >> self.sps.log2_ctb):
+                    continue
+                if xc >= self.w or yc >= self.h:
+                    continue
+            else:
+                xc, yc = xp + (w >> 1), yp + (h >> 1)
+            cx, cy = ((xc >> 4) << 4) // 4, ((yc >> 4) << 4) // 4
+            if cy >= col.intra.shape[0] or cx >= col.intra.shape[1]:
+                continue
+            if col.intra[cy, cx]:
+                continue
+            p0, p1 = bool(col.pred[0, cy, cx]), bool(col.pred[1, cy, cx])
+            if not (p0 or p1):
+                continue
+            if not p0:
+                use = 1
+            elif not p1:
+                use = 0
+            elif self.pic_no_backward():
+                use = lx
+            else:
+                use = 1 if hdr.collocated_from_l0 else 0
+            mv = (int(col.mv[use, cy, cx, 0]), int(col.mv[use, cy, cx, 1]))
+            col_diff = col.poc - int(col.ref_poc[use, cy, cx])
+            cur_diff = self.poc - target_poc
+            if col_diff != cur_diff:
+                mv = INT.scale_mv(mv, cur_diff, col_diff)
+            return mv, True
+        return (0, 0), False
+
+    def pic_no_backward(self) -> bool:
+        return self.no_backward
+
+    def _amvp(self, xcb: int, ycb: int, ncb: int, xp: int, yp: int,
+              w: int, h: int, part_idx: int, part: int, lx: int,
+              ref_idx: int):
+        """AMVP list (8.5.3.2.6): two MV predictors."""
+        hdr = self.cur_hdr
+        target_poc = self.cur_refs[lx][ref_idx].poc
+
+        def cell_at(x, y):
+            return x // 4, y // 4
+
+        def same_ref_mv(x, y):
+            cx, cy = cell_at(x, y)
+            for ly in (lx, 1 - lx):
+                if self.pred[ly, cy, cx] and \
+                        int(self.ref_poc[ly, cy, cx]) == target_poc:
+                    return (int(self.mv[ly, cy, cx, 0]),
+                            int(self.mv[ly, cy, cx, 1]))
+            return None
+
+        def scaled_mv(x, y):
+            cx, cy = cell_at(x, y)
+            for ly in (lx, 1 - lx):
+                if self.pred[ly, cy, cx]:
+                    mv = (int(self.mv[ly, cy, cx, 0]),
+                          int(self.mv[ly, cy, cx, 1]))
+                    col_diff = self.poc - int(self.ref_poc[ly, cy, cx])
+                    cur_diff = self.poc - target_poc
+                    if col_diff != cur_diff:
+                        mv = INT.scale_mv(mv, cur_diff, col_diff)
+                    return mv
+            return None
+
+        pa0 = (xp - 1, yp + h)
+        pa1 = (xp - 1, yp + h - 1)
+        avail_a0 = self._pb_avail(*pa0)
+        avail_a1 = self._pb_avail(*pa1)
+        is_scaled = avail_a0 or avail_a1
+        mv_a, avail_a = None, False
+        for (x, y), ok in ((pa0, avail_a0), (pa1, avail_a1)):
+            if not ok:
+                continue
+            mv = same_ref_mv(x, y)
+            if mv is not None:
+                mv_a, avail_a = mv, True
+                break
+        if not avail_a:
+            for (x, y), ok in ((pa0, avail_a0), (pa1, avail_a1)):
+                if not ok:
+                    continue
+                mv = scaled_mv(x, y)
+                if mv is not None:
+                    mv_a, avail_a = mv, True
+                    break
+        pbs = ((xp + w, yp - 1), (xp + w - 1, yp - 1), (xp - 1, yp - 1))
+        mv_b, avail_b = None, False
+        for (x, y) in pbs:
+            if not self._pb_avail(x, y):
+                continue
+            mv = same_ref_mv(x, y)
+            if mv is not None:
+                mv_b, avail_b = mv, True
+                break
+        if not is_scaled:
+            mv_a, avail_a = mv_b, avail_b
+            mv_b, avail_b = None, False
+            for (x, y) in pbs:
+                if not self._pb_avail(x, y):
+                    continue
+                mv = scaled_mv(x, y)
+                if mv is not None:
+                    mv_b, avail_b = mv, True
+                    break
+        out = []
+        if avail_a:
+            out.append(mv_a)
+        if avail_b and (not avail_a or mv_b != mv_a):
+            out.append(mv_b)
+        if len(out) < 2 and hdr.temporal_mvp:
+            mv, ok = self._tmvp(xcb, ycb, xp, yp, w, h, lx, ref_idx)
+            if ok:
+                out.append(mv)
+        while len(out) < 2:
+            out.append((0, 0))
+        return out[:2]
+
+    # -- intra coding unit ------------------------------------------------------
+
+    def _intra_cu(self, c: HevcCabac, x0: int, y0: int, log2size: int,
+                  depth: int) -> None:
+        sps, pps = self.sps, self.pps
         n = 1 << log2size
         g = 4
-        self.ct_depth[y0 // g:(y0 + n) // g, x0 // g:(x0 + n) // g] = depth
-        self.qp_map[y0 // g:(y0 + n) // g, x0 // g:(x0 + n) // g] = \
-            self.cur_hdr.qp
+        self.cu_pred_mode = MODE_INTRA
+        self.intra4[y0 // g:(y0 + n) // g, x0 // g:(x0 + n) // g] = 1
         # part_mode
         part_nxn = False
         if log2size == sps.log2_min_cb:
@@ -451,7 +1127,10 @@ class _Picture:
                                      intra_split, cbf_cb, cbf_cr)
             return
         # leaf
-        cbf_luma = c.decode(CT.CBF_LUMA + (1 if depth == 0 else 0))
+        if self.cu_pred_mode == MODE_INTRA or depth != 0 or cbf_cb or cbf_cr:
+            cbf_luma = c.decode(CT.CBF_LUMA + (1 if depth == 0 else 0))
+        else:
+            cbf_luma = 1  # inferred for an inter CU with rqt_root_cbf
         self._transform_unit(c, x0, y0, x_base, y_base, log2size, depth,
                              blk_idx, cbf_luma, cbf_cb, cbf_cr)
 
@@ -461,10 +1140,25 @@ class _Picture:
         qp = self.cur_hdr.qp
         pps = self.pps
         n = 1 << log2size
-        # mark TU edges for deblock (intra: bS 2)
+        # mark TU edges + the luma-cbf map for deblock bS (finish_bs)
         g = 4
-        self.bs_ver[y0 // g:(y0 + n) // g, x0 // g] = 2
-        self.bs_hor[y0 // g, x0 // g:(x0 + n) // g] = 2
+        self.tu_edge_ver[y0 // g:(y0 + n) // g, x0 // g] = True
+        self.tu_edge_hor[y0 // g, x0 // g:(x0 + n) // g] = True
+        self.cbf4[y0 // g:(y0 + n) // g, x0 // g:(x0 + n) // g] = cbf_luma
+        if self.cu_pred_mode == MODE_INTER:
+            if cbf_luma:
+                coeffs = self._residual(c, log2size, 0, 0)
+                d = TR.dequant(coeffs, qp, log2size)
+                res = TR.inverse_transform(d, log2size, dst=False)
+                blk = self.y[y0:y0 + n, x0:x0 + n]
+                self.y[y0:y0 + n, x0:x0 + n] = np.clip(blk + res, 0, 255)
+            if log2size > 2:
+                self._chroma_unit(c, x0 >> 1, y0 >> 1, log2size - 1,
+                                  cbf_cb, cbf_cr)
+            elif blk_idx == 3:
+                self._chroma_unit(c, x_base >> 1, y_base >> 1, 2,
+                                  cbf_cb, cbf_cr)
+            return
         # luma prediction + residual
         mode = self._luma_mode_at(x0, y0)
         res = None
@@ -492,6 +1186,20 @@ class _Picture:
         pps = self.pps
         hdr = self.cur_hdr
         n = 1 << log2size
+        if self.cu_pred_mode == MODE_INTER:
+            for cidx, (plane, cbf, off) in enumerate((
+                    (self.cb, cbf_cb, pps.cb_qp_offset + hdr.cb_qp_offset),
+                    (self.cr, cbf_cr, pps.cr_qp_offset + hdr.cr_qp_offset)),
+                    start=1):
+                if not cbf:
+                    continue
+                coeffs = self._residual(c, log2size, cidx, 0)
+                qpc = TR.chroma_qp(qp, off)
+                d = TR.dequant(coeffs, qpc, log2size)
+                res = TR.inverse_transform(d, log2size, dst=False)
+                blk = plane[yc:yc + n, xc:xc + n]
+                plane[yc:yc + n, xc:xc + n] = np.clip(blk + res, 0, 255)
+            return
         mode = self.cu_cmode
         plan_coeffs = [None, None]
         for cidx, (plane, cbf, off) in enumerate((
@@ -737,6 +1445,52 @@ class _Picture:
         return sig + (27 if cidx else 0)
 
     # -- in-loop filters -----------------------------------------------------
+
+    def finish_bs(self) -> None:
+        """Derive deblock boundary strengths (8.7.2.4) from the recorded
+        TU/PU edge masks + per-cell prediction data, vectorized over the
+        4x4 cell grid. All-intra pictures reduce to bS=2 at TU edges."""
+        BIG = 1 << 30
+        for axis in ("v", "h"):
+            if axis == "v":
+                tu_e = self.tu_edge_ver[:, 1:]
+                pu_e = self.pu_edge_ver[:, 1:]
+                sl_p = (slice(None), slice(None, -1))
+                sl_q = (slice(None), slice(1, None))
+                out = self.bs_ver
+            else:
+                tu_e = self.tu_edge_hor[1:, :]
+                pu_e = self.pu_edge_hor[1:, :]
+                sl_p = (slice(None, -1), slice(None))
+                sl_q = (slice(1, None), slice(None))
+                out = self.bs_hor
+            edge = tu_e | pu_e
+            bs2 = self.intra4[sl_p].astype(bool) | \
+                self.intra4[sl_q].astype(bool)
+            cbf_any = (self.cbf4[sl_p] | self.cbf4[sl_q]).astype(bool)
+            lsl = (slice(None),)
+            predP = self.pred[lsl + sl_p].astype(np.int32)
+            predQ = self.pred[lsl + sl_q].astype(np.int32)
+            nP, nQ = predP[0] + predP[1], predQ[0] + predQ[1]
+            mvP, mvQ = self.mv[lsl + sl_p], self.mv[lsl + sl_q]
+            rP = np.where(predP > 0, self.ref_poc[lsl + sl_p], BIG)
+            rQ = np.where(predQ > 0, self.ref_poc[lsl + sl_q], BIG)
+            refs_differ = (
+                (np.minimum(rP[0], rP[1]) != np.minimum(rQ[0], rQ[1])) |
+                (np.maximum(rP[0], rP[1]) != np.maximum(rQ[0], rQ[1])))
+            mm = lambda a, b: np.any(np.abs(a - b) >= 4, axis=-1)
+            mvP_uni = np.where(predP[0][..., None] == 1, mvP[0], mvP[1])
+            mvQ_uni = np.where(predQ[0][..., None] == 1, mvQ[0], mvQ[1])
+            uni = mm(mvP_uni, mvQ_uni)
+            straight = mm(mvP[0], mvQ[0]) | mm(mvP[1], mvQ[1])
+            crossed = mm(mvP[0], mvQ[1]) | mm(mvP[1], mvQ[0])
+            mapped = np.where(rP[0] == rQ[0], straight, crossed)
+            bi = np.where(rP[0] == rP[1], straight & crossed, mapped)
+            mv_mismatch = np.where(nP == 1, uni, bi)
+            bs1 = (tu_e & cbf_any) | (nP != nQ) | refs_differ | mv_mismatch
+            bs = np.where(edge, np.where(bs2, 2, np.where(bs1, 1, 0)), 0)
+            out[:] = 0
+            out[sl_q] = bs.astype(out.dtype)
 
     def deblock(self) -> None:
         hdr = self.cur_hdr

@@ -37,6 +37,11 @@ class HevcSliceHeader:
     collocated_from_l0: int = 1
     collocated_ref_idx: int = 0
     five_minus_max_num_merge_cand: int = 0
+    # explicit weighted prediction (7.3.6.3); None = default prediction.
+    # wp[lx][i] = (wY, oY, wCb, oCb, wCr, oCr); denoms in luma/chroma_denom
+    luma_denom: int = 0
+    chroma_denom: int = 0
+    wp: Optional[List[List[tuple]]] = None
     qp: int = 26
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
@@ -66,6 +71,36 @@ class HevcSliceHeader:
         if self.slice_type == P_SLICE:
             return 2 if self.cabac_init_flag else 1
         return 1 if self.cabac_init_flag else 2
+
+
+def _parse_pred_weight_table(r: BitReader, h: HevcSliceHeader) -> None:
+    """pred_weight_table (7.3.6.3), 4:2:0 (chroma always present)."""
+    h.luma_denom = r.ue()
+    h.chroma_denom = h.luma_denom + r.se()
+    h.wp = [[], []]
+    for lx in range(2 if h.slice_type == B_SLICE else 1):
+        n = h.num_ref_idx[lx]
+        lflags = [r.flag() for _ in range(n)]
+        cflags = [r.flag() for _ in range(n)]
+        for i in range(n):
+            wy, oy = 1 << h.luma_denom, 0
+            wcb = wcr = 1 << h.chroma_denom
+            ocb = ocr = 0
+            if lflags[i]:
+                wy = (1 << h.luma_denom) + r.se()
+                oy = r.se()
+            if cflags[i]:
+                out = []
+                for _ in range(2):
+                    w = (1 << h.chroma_denom) + r.se()
+                    d = r.se()
+                    o = max(-128, min(127, d - (
+                        (128 * w) >> h.chroma_denom) + 128))
+                    out.append((w, o))
+                (wcb, ocb), (wcr, ocr) = out
+            h.wp[lx].append((wy, oy, wcb, ocb, wcr, ocr))
+    if h.slice_type != B_SLICE:
+        h.wp.append([])
 
 
 def parse_slice_header(rbsp: bytes, nal_type: int, sps: HevcSPS,
@@ -141,7 +176,7 @@ def parse_slice_header(rbsp: bytes, nal_type: int, sps: HevcSPS,
                     h.collocated_ref_idx = r.ue()
             if ((pps.weighted_pred and h.slice_type == P_SLICE) or
                     (pps.weighted_bipred and h.slice_type == B_SLICE)):
-                raise NotImplementedError("HEVC weighted prediction tables")
+                _parse_pred_weight_table(r, h)
             h.five_minus_max_num_merge_cand = r.ue()
         h.qp = pps.init_qp + r.se()
         if pps.slice_chroma_qp_offsets_present:

@@ -760,9 +760,11 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
                    sao_band[..., 2], sao_eo[..., 2], log2_ctb - 1,
                    pw // 2, ph // 2)
 
-    return (Y[:height, :width].astype(jnp.uint8),
-            U[:height // 2, :width // 2].astype(jnp.uint8),
-            V[:height // 2, :width // 2].astype(jnp.uint8))
+    # crop to the coded size only; the conformance-window output crop is a
+    # host-side view so the session can keep coded planes for the DPB
+    return (Y[:ph, :pw].astype(jnp.uint8),
+            U[:ph // 2, :pw // 2].astype(jnp.uint8),
+            V[:ph // 2, :pw // 2].astype(jnp.uint8))
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -781,6 +783,15 @@ def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     the wavefront's lane axis, so the sequential scan depth is amortized
     over the batch — this is the throughput shape for the sequential TU
     walk (one frame alone exposes only ctb_h lanes of parallelism)."""
+    # tensors arrive in compact transfer dtypes (stack_plans); upcast once
+    i32 = lambda a: a.astype(jnp.int32)
+    coeff_y, tu_y, mode_y, qp_y = map(i32, (coeff_y, tu_y, mode_y, qp_y))
+    coeff_cb, coeff_cr, tu_c, mode_c = map(
+        i32, (coeff_cb, coeff_cr, tu_c, mode_c))
+    zidx_y, zidx_c = i32(zidx_y), i32(zidx_c)
+    bs_ver, bs_hor = i32(bs_ver), i32(bs_hor)
+    sao_type, sao_offsets = i32(sao_type), i32(sao_offsets)
+    sao_band, sao_eo = i32(sao_band), i32(sao_eo)
     F = coeff_y.shape[0]
     C = 1 << log2_ctb
     ctb_h, ctb_w = Hp // C, Wp // C
@@ -860,24 +871,34 @@ def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
 
 def stack_plans(plans):
     """List of same-geometry HevcFramePlans -> the batched arg tuple for
-    decode_frames_hevc_batch."""
+    decode_frames_hevc_batch. Plan tensors travel host->device in compact
+    dtypes (coeff levels are int16 by spec range; maps fit int8) — the
+    device upcasts after transfer. This halves the H2D bytes, the usual
+    bottleneck (SURVEY §7.4: HBM/PCIe bandwidth first)."""
     p0 = plans[0]
-    st = lambda f: jnp.asarray(np.stack([f(p) for p in plans]))
+    st = lambda f, dt: jnp.asarray(np.stack([f(p) for p in plans])
+                                   .astype(dt))
     sc = lambda f: jnp.asarray(np.array([f(p) for p in plans], np.int32))
     return ((p0.Hp, p0.Wp, p0.log2_ctb, bool(p0.strong_smoothing),
              not p0.deblock_disabled, p0.pw, p0.ph, p0.width, p0.height) +
-            tuple(st(f) for f in (
-                lambda p: p.coeff_y, lambda p: p.tu_log2_y,
-                lambda p: p.mode_y, lambda p: p.zidx_y, lambda p: p.qp_y,
-                lambda p: p.coeff_cb, lambda p: p.coeff_cr,
-                lambda p: p.tu_log2_c, lambda p: p.mode_c,
-                lambda p: p.zidx_c)) +
+            (st(lambda p: p.coeff_y, np.int16),
+             st(lambda p: p.tu_log2_y, np.int8),
+             st(lambda p: p.mode_y, np.int8),
+             st(lambda p: p.zidx_y, np.int32),
+             st(lambda p: p.qp_y, np.int8),
+             st(lambda p: p.coeff_cb, np.int16),
+             st(lambda p: p.coeff_cr, np.int16),
+             st(lambda p: p.tu_log2_c, np.int8),
+             st(lambda p: p.mode_c, np.int8),
+             st(lambda p: p.zidx_c, np.int32)) +
             (sc(lambda p: p.cb_qp_off), sc(lambda p: p.cr_qp_off),
              sc(lambda p: p.beta_off), sc(lambda p: p.tc_off)) +
-            tuple(st(f) for f in (
-                lambda p: p.bs_ver, lambda p: p.bs_hor,
-                lambda p: p.sao_type, lambda p: p.sao_offsets,
-                lambda p: p.sao_band, lambda p: p.sao_eo)))
+            (st(lambda p: p.bs_ver, np.int8),
+             st(lambda p: p.bs_hor, np.int8),
+             st(lambda p: p.sao_type, np.int8),
+             st(lambda p: p.sao_offsets, np.int8),
+             st(lambda p: p.sao_band, np.int8),
+             st(lambda p: p.sao_eo, np.int8)))
 
 
 def decode_plans_batch(plans):
@@ -895,12 +916,13 @@ def decode_plans_batch(plans):
     return decode_frames_hevc_batch(*args)
 
 
-def decode_plan(plan):
-    """HevcFramePlan -> (Y, U, V) uint8 device arrays."""
+def decode_plan(plan, coded: bool = False):
+    """HevcFramePlan -> (Y, U, V) uint8 device arrays; coded=True returns
+    the full coded-size planes (pre conformance-window crop) for DPB use."""
     if not plan.supported:
         raise NotImplementedError(f"plan unsupported: {plan.reason}")
     j = jnp.asarray
-    return decode_frame_hevc(
+    Y, U, V = decode_frame_hevc(
         plan.Hp, plan.Wp, plan.log2_ctb, bool(plan.strong_smoothing),
         not plan.deblock_disabled, plan.pw, plan.ph,
         plan.width, plan.height,
@@ -913,3 +935,7 @@ def decode_plan(plan):
         j(plan.bs_ver), j(plan.bs_hor),
         j(plan.sao_type), j(plan.sao_offsets), j(plan.sao_band),
         j(plan.sao_eo))
+    if coded:
+        return Y, U, V
+    h, w = plan.height, plan.width
+    return Y[:h, :w], U[:h // 2, :w // 2], V[:h // 2, :w // 2]

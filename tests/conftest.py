@@ -21,3 +21,15 @@ if os.environ.get("JMX_TEST_TPU") != "1":
 
     jax.config.update("jax_platforms", "cpu")
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# Persistent XLA compilation cache (opt-in: JMX_XLA_CACHE=/path). The
+# HEVC/H.264 wavefront kernels take minutes to compile on the CPU backend,
+# but this jaxlib's cache writer segfaults intermittently (zstandard
+# compression of multi-GB CPU executables), so it is NOT on by default.
+_CACHE = os.environ.get("JMX_XLA_CACHE", "")
+if _CACHE:
+    os.makedirs(_CACHE, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -145,9 +145,13 @@ static int do_encode(int argc, char **argv) {
         av_opt_set(ctx->priv_data, "x264-params", params, 0);
         av_opt_set(ctx->priv_data, "profile", profile, 0);
     } else {
-        char params[256];
-        snprintf(params, sizeof params, "qp=%d:keyint=%d:min-keyint=%d:bframes=0",
-                 qp, gop, gop);
+        char params[512];
+        /* deterministic closed-GOP defaults; later keys in x265-params win,
+         * so `extra` can override any of them (bframes=N, weightp=1, ...) */
+        snprintf(params, sizeof params,
+                 "qp=%d:keyint=%d:min-keyint=%d:bframes=0:weightp=0:"
+                 "open-gop=0:scenecut=0%s%s", qp, gop, gop,
+                 extra[0] ? ":" : "", extra);
         av_opt_set(ctx->priv_data, "x265-params", params, 0);
     }
     if (avcodec_open2(ctx, codec, NULL) < 0) die("open encoder");
