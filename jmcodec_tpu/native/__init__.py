@@ -25,13 +25,14 @@ _lib = None
 _tried = False
 
 
-def _generate_tables() -> str:
-    hdr = os.path.join(_SRC, "h264_tables.h")
-    src_cavlc = os.path.join(_DIR, "..", "codec", "h264", "cavlc.py")
-    if os.path.exists(hdr) and os.path.getmtime(hdr) >= os.path.getmtime(src_cavlc):
+def _gen_header(hdr_name: str, module: str, deps) -> str:
+    hdr = os.path.join(_SRC, hdr_name)
+    dep_paths = [os.path.join(_DIR, "..", *d) for d in deps]
+    if os.path.exists(hdr) and all(
+            os.path.getmtime(hdr) >= os.path.getmtime(p) for p in dep_paths):
         return hdr
     out = subprocess.run(
-        [sys.executable, "-m", "jmcodec_tpu.native.gen_tables"],
+        [sys.executable, "-m", module],
         capture_output=True, text=True, check=True,
         cwd=os.path.join(_DIR, "..", ".."))
     with open(hdr, "w") as f:
@@ -39,10 +40,19 @@ def _generate_tables() -> str:
     return hdr
 
 
+def _generate_tables() -> None:
+    _gen_header("h264_tables.h", "jmcodec_tpu.native.gen_tables",
+                [("codec", "h264", "cavlc.py")])
+    _gen_header("hevc_tables.h", "jmcodec_tpu.native.gen_hevc_native_tables",
+                [("codec", "hevc", "cabac_tables.py"),
+                 ("codec", "h264", "cabac_tables.py")])
+
+
 def build(force: bool = False) -> str:
     """Compile the native library if needed; returns its path."""
     os.makedirs(_BUILD, exist_ok=True)
-    srcs = [os.path.join(_SRC, "h264_parse.cc")]
+    srcs = [os.path.join(_SRC, "h264_parse.cc"),
+            os.path.join(_SRC, "hevc_parse.cc")]
     if (not force and os.path.exists(_LIB)
             and all(os.path.getmtime(_LIB) >= os.path.getmtime(s) for s in srcs)):
         return _LIB
@@ -63,6 +73,7 @@ def get_lib():
             path = build()
             lib = ctypes.CDLL(path)
             lib.jmx_parse_i_slice.restype = ctypes.c_int
+            lib.jmx_hevc_parse_i_slice.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -117,3 +128,52 @@ class NativeSliceParser:
             fs.pcm_u = pcm_c[0].astype(np.int32)
             fs.pcm_v = pcm_c[1].astype(np.int32)
         return n
+
+
+class HevcNativeUnsupported(NotImplementedError):
+    """Picture is outside the native HEVC parser's scope; callers fall back
+    to the Python oracle parser."""
+
+
+def hevc_fill_plan(plan, hdr, sps, pps, rbsp: bytes,
+                   substream_rbsp) -> None:
+    """Fill a HevcFramePlan's tensors by parsing one I slice natively.
+
+    Raises HevcNativeUnsupported when the stream uses a feature the C++
+    parser does not cover (PCM, transquant bypass, transform_skip, ...);
+    ValueError on a corrupt bitstream.
+    """
+    lib = get_lib()
+    if lib is None:
+        raise HevcNativeUnsupported("native library unavailable")
+    if sps.pcm_enabled:
+        raise HevcNativeUnsupported("PCM")
+    buf = np.frombuffer(rbsp, np.uint8)
+    iparams = np.array([
+        sps.pic_width, sps.pic_height, sps.log2_ctb, sps.log2_min_cb,
+        sps.log2_min_tb, sps.log2_max_tb,
+        sps.max_transform_hierarchy_depth_intra,
+        hdr.qp, hdr.init_type, hdr.sao_luma, hdr.sao_chroma,
+        pps.entropy_coding_sync_enabled, pps.sign_data_hiding,
+        pps.transform_skip_enabled, pps.transquant_bypass_enabled,
+        sps.pcm_enabled, hdr.segment_address, len(substream_rbsp),
+    ], np.int32)
+    subs = np.asarray(substream_rbsp or [0], np.int64)
+    cw = (sps.pic_width + 3) // 4
+    ch = (sps.pic_height + 3) // 4
+    scratch = np.zeros(5 * cw * ch, np.uint8)
+    n = lib.jmx_hevc_parse_i_slice(
+        _ptr(buf), ctypes.c_int64(len(rbsp)),
+        ctypes.c_int64(hdr.data_bitpos),
+        _ptr(iparams), _ptr(subs),
+        _ptr(plan.coeff_y), _ptr(plan.tu_log2_y), _ptr(plan.mode_y),
+        _ptr(plan.zidx_y), _ptr(plan.qp_y),
+        _ptr(plan.coeff_cb), _ptr(plan.coeff_cr),
+        _ptr(plan.tu_log2_c), _ptr(plan.mode_c), _ptr(plan.zidx_c),
+        _ptr(plan.bs_ver), _ptr(plan.bs_hor),
+        _ptr(plan.sao_type), _ptr(plan.sao_offsets), _ptr(plan.sao_band),
+        _ptr(plan.sao_eo), _ptr(scratch))
+    if n in (-2, -3, -4, -7):
+        raise HevcNativeUnsupported(f"native HEVC parser: code {n}")
+    if n <= 0:
+        raise ValueError(f"native HEVC slice parse error {n}")
