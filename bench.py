@@ -1,18 +1,19 @@
 #!/usr/bin/env python3
-"""Headline benchmark: 1080p H.264 intra decode throughput per chip.
+"""Headline benchmark: 1080p HEVC intra decode throughput per chip
+(BASELINE.md: "1080p HEVC decode > 60 fps/chip, bit-exact"), plus the
+H.264 1080p intra decode figure as a secondary metric.
 
-Pipeline measured end-to-end: host entropy parse (native C++ CAVLC ->
-symbol planes, threaded) + device reconstruction (wavefront intra + deblock,
-frame-batched) on whatever accelerator jax exposes (TPU under the driver).
+Pipeline measured end-to-end: host entropy parse (native C++ CABAC ->
+HevcFramePlan tensors, threaded over pictures) + H2D transfer + device
+reconstruction (CTB-wavefront intra + deblock + SAO, frame-batched) on
+whatever accelerator jax exposes (TPU under the driver).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/60}
-(baseline: BASELINE.md target of 60 fps/chip bit-exact 1080p decode).
+  {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/60, ...}
 """
 
 import json
 import os
-import subprocess
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -24,9 +25,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_test_stream(W=1920, H=1080, n_frames=8, qp=30):
-    """x264 intra stream via the conformance oracle tool (test data only)."""
-    cache = f"/tmp/jmx_bench_{W}x{H}_{n_frames}_{qp}.h264"
+def make_test_stream(W=1920, H=1080, n_frames=8, qp=30, codec="libx264"):
+    """Oracle-encoded all-intra stream (test data only)."""
+    tag = "h265" if codec == "libx265" else "h264"
+    cache = f"/tmp/jmx_bench_{W}x{H}_{n_frames}_{qp}.{tag}"
     if os.path.exists(cache):
         return open(cache, "rb").read()
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
@@ -35,27 +37,100 @@ def make_test_stream(W=1920, H=1080, n_frames=8, qp=30):
         raise RuntimeError("no oracle to generate bench stream")
     frames = [make_frame(W, H, seed=i, kind="gradient_noise")
               for i in range(n_frames)]
-    data = oracle_encode(frames, W, H, qp=qp, gop=1)
+    data = oracle_encode(frames, W, H, qp=qp, gop=1, codec=codec)
     open(cache, "wb").write(data)
     return data
 
 
-def main():
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
-    W, H, N = 1920, 1080, int(os.environ.get("JMX_BENCH_FRAMES", "16"))
-    stream = make_test_stream(W, H, N)
-    log(f"bench stream: {len(stream)/1024:.0f} KB, {N} frames {W}x{H}")
-
+def bench_hevc(W, H, N, reps=3):
+    """HEVC all-intra: native parse -> plans -> batched device decode."""
     import jax
+    import jax.numpy as jnp
+    from jmcodec_tpu import native
+    from jmcodec_tpu.codec.hevc import nal as HN
+    from jmcodec_tpu.codec.hevc.params import parse_pps, parse_sps
+    from jmcodec_tpu.codec.hevc.plan import HevcFramePlan
+    from jmcodec_tpu.codec.hevc.refdec import _substream_offsets
+    from jmcodec_tpu.codec.hevc.slicehdr import parse_slice_header
+    from jmcodec_tpu.kernels.hevc_tiles import (decode_frames_hevc_batch,
+                                                stack_plans)
+
+    stream = make_test_stream(W, H, N, qp=30, codec="libx265")
+    log(f"hevc bench stream: {len(stream)/1024:.0f} KB, {N} frames {W}x{H}")
+
+    sps = {}
+    pps = {}
+    slices = []
+    for u in HN.parse_nal_units(stream):
+        if u.nal_unit_type == HN.NAL_SPS:
+            s = parse_sps(u.rbsp)
+            sps[s.sps_id] = s
+        elif u.nal_unit_type == HN.NAL_PPS:
+            p = parse_pps(u.rbsp)
+            pps[p.pps_id] = p
+        elif u.is_slice:
+            slices.append(u)
+    p0 = pps[0]
+    s0 = sps[p0.sps_id]
+
+    def parse_one(u):
+        hdr = parse_slice_header(u.rbsp, u.nal_unit_type, s0, p0)
+        plan = HevcFramePlan.create(s0)
+        plan.record_slice(hdr, p0)
+        native.hevc_fill_plan(plan, hdr, s0, p0, u.rbsp,
+                              _substream_offsets(hdr, u.emu_positions))
+        return plan
+
+    # warmup: parse all + compile the batched device program
+    t0 = time.time()
+    plans = [parse_one(u) for u in slices]
+    log(f"single-thread host parse: {(time.time()-t0)/len(plans)*1000:.0f} "
+        f"ms/frame")
+    t0 = time.time()
+    args = stack_plans(plans)
+    out = decode_frames_hevc_batch(*args)
+    _ = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
+    log(f"compile+first batch: {time.time()-t0:.1f}s")
+
+    pool = ThreadPoolExecutor(max_workers=os.cpu_count() or 2)
+    best = best_compute = 0.0
+    for rep in range(reps):
+        t0 = time.time()
+        plans = list(pool.map(parse_one, slices))
+        args = stack_plans(plans)
+        out = decode_frames_hevc_batch(*args)
+        checksum = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
+        dt = time.time() - t0
+        # compute-only: plan tensors already device-resident (args)
+        t1 = time.time()
+        out = decode_frames_hevc_batch(*args)
+        checksum = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
+        dtc = time.time() - t1
+        log(f"hevc rep {rep}: e2e {dt*1000:.0f} ms = {N/dt:.2f} fps | "
+            f"device {dtc*1000:.0f} ms = {N/dtc:.2f} fps "
+            f"(checksum {checksum})")
+        best = max(best, N / dt)
+        best_compute = max(best_compute, N / dtc)
+
+    # bit-exactness vs the independent reference decoder, compared on device
+    # (D2H is pathologically slow through the dev tunnel)
+    from util_oracle import oracle_decode
+    golden, _, _ = oracle_decode(stream, suffix=".h265")
+    gY = jnp.asarray(np.stack([g[0] for g in golden]))
+    exact = bool(jnp.all(out[0][:len(golden), :H, :W] == gY))
+    log(f"hevc bit-exact vs reference decoder: {exact}")
+    return best, best_compute, exact
+
+
+def bench_h264(W, H, N, reps=2):
+    """H.264 all-intra: native CAVLC parse -> symbols -> batched device."""
+    import jax.numpy as jnp
     from jmcodec_tpu.codec.h264 import nal as NAL
     from jmcodec_tpu.codec.h264.fastdec import FastH264Parser
-    from jmcodec_tpu.kernels.recon_tiles import decode_frames_batch
     from jmcodec_tpu.kernels.recon import stack_symbols
+    from jmcodec_tpu.kernels.recon_tiles import decode_frames_batch
 
-    platform = jax.devices()[0].platform
-    log(f"device: {jax.devices()[0]} ({platform})")
-
-    # split stream into per-picture chunks for threaded host parse
+    stream = make_test_stream(W, H, N)
     units = list(NAL.split_annexb(stream))
     starts = []
     for s, e in units:
@@ -69,74 +144,64 @@ def main():
     head = stream[:starts[0]]
     chunks = [head + stream[starts[i]:starts[i + 1]]
               for i in range(len(starts) - 1)]
-    log(f"{len(chunks)} pictures")
-
     parser = FastH264Parser()
-    parser.parse_annexb(chunks[0])  # prime SPS/PPS
+    parser.parse_annexb(chunks[0])
 
     def parse_one(c):
         return parser.parse_annexb(c)[0]
 
-    # warmup: parse all & compile the batched device program
     fss = [parse_one(c) for c in chunks]
     mbh, mbw = fss[0][0].mb_height, fss[0][0].mb_width
     args = stack_symbols([f for f, _ in fss])
-    t0 = time.time()
-    import jax.numpy as jnp
     out = decode_frames_batch(mbh, mbw, *args, deblock=True)
-    # the checksum reduce is part of the timed loop: compile it now too
     _ = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
-    log(f"compile+first batch: {time.time()-t0:.1f}s")
 
-    # timed runs: host parse (threads) + transfer + device decode. Completion
-    # is forced by fetching an on-device checksum (block_until_ready can
-    # return early on tunneled backends). Decoded frames stay device-resident
-    # (the TPU-native pipeline consumes them on-device; fetching frames over
-    # the tunnel is not part of the decode metric).
-    import jax.numpy as jnp
     pool = ThreadPoolExecutor(max_workers=os.cpu_count() or 2)
-    best = 0.0
-    best_compute = 0.0
-    for rep in range(3):
+    best = best_compute = 0.0
+    for rep in range(reps):
         t0 = time.time()
         fss = list(pool.map(parse_one, chunks))
         args = stack_symbols([f for f, _ in fss])
         out = decode_frames_batch(mbh, mbw, *args, deblock=True)
-        checksum = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
+        _ = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
         dt = time.time() - t0
-        fps = len(chunks) / dt
-        # compute-only: args already resident
         t1 = time.time()
         out = decode_frames_batch(mbh, mbw, *args, deblock=True)
-        checksum = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
+        _ = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
         dtc = time.time() - t1
-        cfps = len(chunks) / dtc
-        log(f"rep {rep}: e2e {dt*1000:.0f} ms = {fps:.2f} fps | device "
-            f"{dtc*1000:.0f} ms = {cfps:.2f} fps (checksum {checksum})")
-        best = max(best, fps)
-        best_compute = max(best_compute, cfps)
+        log(f"h264 rep {rep}: e2e {dt*1000:.0f} ms = {len(chunks)/dt:.2f} "
+            f"fps | device {dtc*1000:.0f} ms = {len(chunks)/dtc:.2f} fps")
+        best = max(best, len(chunks) / dt)
+        best_compute = max(best_compute, len(chunks) / dtc)
+    return best, best_compute
 
-    # sanity: output must match the independent reference decoder (libavcodec
-    # oracle) bit-exactly on every frame. Compare ON DEVICE (device->host
-    # fetches are pathologically slow through the tunnel; host->device of the
-    # golden frames is cheap by comparison).
-    from util_oracle import oracle_decode
-    golden, _, _ = oracle_decode(stream)
-    gY = jnp.asarray(np.stack([g[0] for g in golden]))
-    exact = bool(jnp.all(out[0][:len(golden), :H, :W] == gY))
-    log(f"bit-exact vs reference decoder: {exact}")
+
+def main():
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests"))
+    import jax
+
+    platform = jax.devices()[0].platform
+    log(f"device: {jax.devices()[0]} ({platform})")
+    W, H, N = 1920, 1080, int(os.environ.get("JMX_BENCH_FRAMES", "16"))
+
+    hevc_fps, hevc_dev_fps, hevc_exact = bench_hevc(W, H, N)
+    h264_fps, h264_dev_fps = bench_h264(W, H, N)
 
     result = {
-        "metric": "h264_1080p_intra_decode_fps_per_chip",
-        "value": round(best, 2),
+        "metric": "hevc_1080p_intra_decode_fps_per_chip",
+        "value": round(hevc_fps, 2),
         "unit": "fps",
-        "vs_baseline": round(best / 60.0, 3),
-        "device_compute_fps": round(best_compute, 2),
-        "bit_exact": exact,
+        "vs_baseline": round(hevc_fps / 60.0, 3),
+        "device_compute_fps": round(hevc_dev_fps, 2),
+        "bit_exact": hevc_exact,
+        "h264_1080p_intra_fps": round(h264_fps, 2),
+        "h264_device_compute_fps": round(h264_dev_fps, 2),
         "platform": platform,
-        "note": ("e2e includes host CAVLC parse + H2D transfer; this dev "
-                 "environment tunnels the TPU at ~60 MB/s H2D which bounds "
-                 "e2e; device_compute_fps is the on-chip decode rate"),
+        "note": ("e2e includes threaded native CABAC host parse + H2D of "
+                 "plan tensors; this dev environment tunnels the TPU at "
+                 "~60 MB/s H2D which bounds e2e; device_compute_fps "
+                 "re-submits resident tensors (on-chip decode rate)"),
     }
     print(json.dumps(result))
 
