@@ -1,0 +1,96 @@
+"""Device (TPU) P-frame encoder: batched exhaustive ME + transform/quant on
+device, CAVLC pack on host (kernels/encode_tiles.py + codec/h264/devenc.py).
+
+Gates:
+- streams decode identically through libavcodec and our reference decoder
+- the encoder's device reconstruction is bit-exact with what a conformant
+  decoder outputs (closed loop through the device DECODE kernel)
+- P_Skip machinery engages on static content
+- rate/distortion at least matches the host diamond-search encoder
+
+Capability analog: the NVENC submit pipeline (nv_enc/nv_enc.cpp:76-157).
+"""
+
+import numpy as np
+import pytest
+
+from jmcodec_tpu.codec.h264.devenc import (DeviceH264Encoder,
+                                           encode_stream_device)
+from jmcodec_tpu.codec.h264.refdec import H264ReferenceDecoder
+from jmcodec_tpu.codec.h264.refenc import EncoderConfig, H264ReferenceEncoder
+
+from test_inter_decode import moving_frames
+from util_oracle import have_oracle, make_frame, oracle_decode, psnr
+
+pytestmark = pytest.mark.skipif(not have_oracle(),
+                                reason="libavcodec oracle unavailable")
+
+
+def _encode(frames, W, H, qp=28, gop=8):
+    enc = DeviceH264Encoder(EncoderConfig(width=W, height=H, qp=qp,
+                                          gop_len=gop))
+    out = [enc.headers_annexb()]
+    recons = []
+    for (Y, U, V) in frames:
+        out.append(enc.encode_frame(Y, U, V))
+        recons.append(enc.recon_cropped())
+    return b"".join(out), recons
+
+
+def test_roundtrip_both_decoders():
+    frames = moving_frames(64, 64, 3)
+    stream, recons = _encode(frames, 64, 64, qp=28, gop=3)
+    want, W, H = oracle_decode(stream)
+    assert len(want) == 3
+    dec = H264ReferenceDecoder()
+    ours = dec.decode_annexb(stream)
+    for i, (fr, w, r) in enumerate(zip(ours, want, recons)):
+        assert np.array_equal(fr.Y[:H, :W], w[0]), f"frame {i} luma"
+        assert np.array_equal(fr.U[:H // 2, :W // 2], w[1]), f"frame {i} cb"
+        assert np.array_equal(fr.V[:H // 2, :W // 2], w[2]), f"frame {i} cr"
+        # closed loop: encoder recon == decoder output
+        for a, b in zip(r, w):
+            assert np.array_equal(a, b), f"frame {i} recon mismatch"
+
+
+def test_qp_sweep():
+    frames = moving_frames(96, 64, 3, step=(3, 2))
+    for qp in (20, 36):
+        stream, _ = _encode(frames, 96, 64, qp=qp, gop=3)
+        want, _, _ = oracle_decode(stream)
+        assert len(want) == 3
+
+
+def test_static_content_skips():
+    f = make_frame(64, 64, seed=5)
+    enc = DeviceH264Encoder(EncoderConfig(width=64, height=64, qp=30,
+                                          gop_len=4))
+    enc.headers_annexb()
+    sizes = [len(enc.encode_frame(*f)) for _ in range(4)]
+    # P frames of identical content must collapse to skip runs
+    assert all(s < 40 for s in sizes[1:]), sizes
+
+
+def test_rd_at_least_host_encoder():
+    """Exhaustive batched ME must not lose to the host diamond search:
+    compare (bytes, psnr) at equal QP."""
+    frames = moving_frames(96, 64, 4)
+    sd, _ = _encode(frames, 96, 64, qp=28, gop=4)
+    enc = H264ReferenceEncoder(EncoderConfig(width=96, height=64, qp=28,
+                                             gop_len=4))
+    sh = enc.headers_annexb() + b"".join(
+        enc.encode_frame(*f) for f in frames)
+    wd, _, _ = oracle_decode(sd)
+    wh, _, _ = oracle_decode(sh)
+    pd = np.mean([psnr(w[0], f[0]) for w, f in zip(wd, frames)])
+    ph = np.mean([psnr(w[0], f[0]) for w, f in zip(wh, frames)])
+    # allow tiny PSNR give-back only if bytes improve, and vice versa
+    assert (pd >= ph - 0.05 and len(sd) <= len(sh) * 1.05), \
+        f"device {len(sd)}B/{pd:.2f}dB vs host {len(sh)}B/{ph:.2f}dB"
+
+
+def test_convenience_wrapper():
+    frames = moving_frames(64, 64, 2)
+    stream = encode_stream_device(frames, 64, 64, qp=30, gop_len=2)
+    want, _, _ = oracle_decode(stream)
+    assert len(want) == 2
