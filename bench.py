@@ -188,6 +188,15 @@ def main():
     hevc_fps, hevc_dev_fps, hevc_exact = bench_hevc(W, H, N)
     h264_fps, h264_dev_fps = bench_h264(W, H, N)
 
+    # Roofline/MFU context (BASELINE asks "fast vs the chip", not only the
+    # 60 fps line). The decode kernels are NOT MXU/HBM-bound: the intra
+    # wavefront is a sequential lax.scan whose step count is set by the
+    # skewed tile geometry, so the ceiling is steps/frame x per-step
+    # latency. Report achieved pixel rate + the scan-depth model so the
+    # gap to the hardware is attributable.
+    mpix = W * H / 1e6
+    hevc_steps = (1080 // 32 + 1) + (1920 // 32)    # ctb_h*skew + ctb_w - 1
+    h264_steps = (1080 // 16 + 1) + (1920 // 16)
     result = {
         "metric": "hevc_1080p_intra_decode_fps_per_chip",
         "value": round(hevc_fps, 2),
@@ -197,6 +206,21 @@ def main():
         "bit_exact": hevc_exact,
         "h264_1080p_intra_fps": round(h264_fps, 2),
         "h264_device_compute_fps": round(h264_dev_fps, 2),
+        "device_mpix_per_s": {
+            "hevc": round(hevc_dev_fps * mpix, 1),
+            "h264": round(h264_dev_fps * mpix, 1)},
+        "roofline": {
+            "model": "wavefront latency-bound, not MXU/HBM-bound",
+            "hbm_traffic_mb_per_frame_est": 30,
+            "hbm_utilization_est": round(
+                max(hevc_dev_fps, h264_dev_fps) * 30e6 / 819e9, 4),
+            "scan_steps_per_frame": {"hevc": hevc_steps,
+                                     "h264": h264_steps},
+            "note": ("per-frame cost ~= scan_steps x per-step latency; "
+                     "batching F frames amortizes steps F-fold (the bench "
+                     "batches %d). HBM utilization <1%% => headroom is "
+                     "deeper batching + scan fusion, not arithmetic"
+                     % N)},
         "platform": platform,
         "note": ("e2e includes threaded native CABAC host parse + H2D of "
                  "plan tensors; this dev environment tunnels the TPU at "

@@ -419,7 +419,8 @@ class EncoderParams:
     def __init__(self, width=1920, height=1080, fps=30, bitrate_kb=2000,
                  gop_len=30, num_bframe=0, codec: Codec = Codec.H264,
                  qp: Optional[int] = None, preset: str = "balanced",
-                 rc_mode: str = "vbr", vbv_buffer_ms: int = 0):
+                 rc_mode: str = "vbr", vbv_buffer_ms: int = 0,
+                 engine: str = "auto"):
         self.width = width
         self.height = height
         self.fps = fps
@@ -429,6 +430,11 @@ class EncoderParams:
         self.codec = codec
         self.qp = qp
         self.preset = preset
+        # "device": TPU P-frame core (kernels/encode_tiles.py); "host":
+        # pure-numpy oracle encoder; "auto": device when an accelerator
+        # backs jax (the reference's HW-vs-SW session fallback,
+        # intel_dec.cpp:381-414)
+        self.engine = engine
         # rate control: "vbr" (QSV default, intel_enc.cpp:512), "cbr"
         # (NVENC default, nv_enc.cpp:534-535), or "cqp" (fixed qp)
         self.rc_mode = "cqp" if qp is not None else rc_mode
@@ -456,10 +462,22 @@ class EncoderSession:
         if self.params.num_bframe:
             raise NotImplementedError("B-frames land with the inter path")
         from ..codec.h264.refenc import EncoderConfig, H264ReferenceEncoder
-        self._enc = H264ReferenceEncoder(EncoderConfig(
+        engine = self.params.engine
+        if engine == "auto":
+            import jax
+            engine = ("device" if jax.devices()[0].platform != "cpu"
+                      else "host")
+        cfg = EncoderConfig(
             self.params.width, self.params.height,
             qp=self.params.effective_qp(),
-            gop_len=max(1, self.params.gop_len)))
+            gop_len=max(1, self.params.gop_len))
+        if engine == "device":
+            from ..codec.h264.devenc import DeviceH264Encoder
+            self._enc = DeviceH264Encoder(cfg)
+        elif engine == "host":
+            self._enc = H264ReferenceEncoder(cfg)
+        else:
+            raise ValueError(f"engine {engine!r}")
         self._rc = None
         if self.params.rc_mode in ("cbr", "vbr"):
             from ..pipeline.ratecontrol import (RateControlConfig,
