@@ -94,6 +94,14 @@ class RateController:
         G = max(1, self.cfg.gop_len)
         qs = (self.comp["I"] + (G - 1) * self.comp["P"]) / (G * max(self.R, 1.0))
         qs *= (1.0 + self._gain * err * 2.0)
+        # integral term: the leaky bucket saturates (forgives old error), so
+        # also correct the cumulative average toward the target — the x264
+        # ABR "overflow" factor. Stronger pull for CBR than VBR.
+        if self.frames >= 3:
+            want = self.R * self.frames
+            drift = self.total_bits / max(want, 1.0)
+            k = 1.0 if self.cfg.mode == "cbr" else 0.8
+            qs *= min(max(drift ** k, 0.6), 1.8)
         qp = qp_of(qs)
         if frame_type == "B":
             qp += 2.0
