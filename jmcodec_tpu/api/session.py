@@ -451,6 +451,37 @@ class EncoderParams:
         return int(np.clip(qp, 10, 48))
 
 
+class _HevcEncAdapter:
+    """Gives HevcIntraEncoder the H264ReferenceEncoder session interface."""
+
+    class _Cfg:
+        def __init__(self, qp):
+            self.qp = qp
+            self.gop_len = 1  # all-intra
+
+    def __init__(self, enc):
+        self._e = enc
+        self.cfg = self._Cfg(enc.qp)
+        self.frame_idx = 0
+
+    def headers_annexb(self) -> bytes:
+        return self._e.headers_annexb()
+
+    def encode_frame(self, Y, U, V, qp=None) -> bytes:
+        out = self._e.encode_frame(Y, U, V, qp=qp)
+        self.frame_idx += 1
+        return out
+
+    def spspps(self):
+        from ..codec.hevc import nal as HN
+        from ..codec.hevc.refenc import write_pps, write_sps
+        e = self._e
+        sps = HN.write_nal_unit(HN.NAL_SPS,
+                                write_sps(e.pw, e.ph, e.conf_win))
+        pps = HN.write_nal_unit(HN.NAL_PPS, write_pps())
+        return sps, pps
+
+
 class EncoderSession:
     """YUV in -> Annex-B bitstream out with keyframe flags + SPS/PPS export
     (parity: intel_enc/nv_enc paths, SURVEY §3.2/§3.4)."""
@@ -461,23 +492,31 @@ class EncoderSession:
         self.params = params or EncoderParams()
         if self.params.num_bframe:
             raise NotImplementedError("B-frames land with the inter path")
-        from ..codec.h264.refenc import EncoderConfig, H264ReferenceEncoder
         engine = self.params.engine
         if engine == "auto":
             import jax
             engine = ("device" if jax.devices()[0].platform != "cpu"
                       else "host")
-        cfg = EncoderConfig(
-            self.params.width, self.params.height,
-            qp=self.params.effective_qp(),
-            gop_len=max(1, self.params.gop_len))
-        if engine == "device":
-            from ..codec.h264.devenc import DeviceH264Encoder
-            self._enc = DeviceH264Encoder(cfg)
-        elif engine == "host":
-            self._enc = H264ReferenceEncoder(cfg)
+        if self.params.codec == Codec.HEVC:
+            # all-intra HEVC encode (v1 scope; every frame is an IDR)
+            from ..codec.hevc.refenc import HevcIntraEncoder
+            self._enc = _HevcEncAdapter(HevcIntraEncoder(
+                self.params.width, self.params.height,
+                qp=self.params.effective_qp()))
         else:
-            raise ValueError(f"engine {engine!r}")
+            from ..codec.h264.refenc import (EncoderConfig,
+                                             H264ReferenceEncoder)
+            cfg = EncoderConfig(
+                self.params.width, self.params.height,
+                qp=self.params.effective_qp(),
+                gop_len=max(1, self.params.gop_len))
+            if engine == "device":
+                from ..codec.h264.devenc import DeviceH264Encoder
+                self._enc = DeviceH264Encoder(cfg)
+            elif engine == "host":
+                self._enc = H264ReferenceEncoder(cfg)
+            else:
+                raise ValueError(f"engine {engine!r}")
         self._rc = None
         if self.params.rc_mode in ("cbr", "vbr"):
             from ..pipeline.ratecontrol import (RateControlConfig,
@@ -536,6 +575,8 @@ class EncoderSession:
     def get_spspps(self) -> Tuple[bytes, bytes]:
         """SPS/PPS export (parity: enc_get_spspps intel_enc.cpp:582-622,
         nvenc_get_spspps nv_enc.cpp:1168-1216)."""
+        if isinstance(self._enc, _HevcEncAdapter):
+            return self._enc.spspps()
         from ..codec.h264 import nal as NAL
         from ..codec.h264.params import write_pps, write_sps
         sps = NAL.write_nal_unit(3, NAL.NAL_SPS, write_sps(self._enc.sps))

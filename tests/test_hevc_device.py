@@ -49,7 +49,7 @@ def test_noise_qp_extremes():
 
 
 def test_edges_content():
-    _device_roundtrip([make_frame(128, 64, seed=3, kind="edges")], 128, 64,
+    _device_roundtrip([make_frame(64, 64, seed=3, kind="edges")], 64, 64,
                       qp=27)
 
 
@@ -65,8 +65,10 @@ def test_partial_ctus():
 
 
 def test_larger_frame_qp_sweep():
+    # same geometry as the WPP test: one XLA compile covers the sweep
+    # (distinct geometries cost minutes each on the CPU test backend)
     for qp in (17, 34, 51):
-        _device_roundtrip([make_frame(352, 288, seed=qp)], 352, 288, qp=qp)
+        _device_roundtrip([make_frame(176, 144, seed=qp)], 176, 144, qp=qp)
 
 
 def test_session_hevc_device_path():
@@ -75,8 +77,8 @@ def test_session_hevc_device_path():
     from jmcodec_tpu.api.session import Codec, DecoderSession
     from jmcodec_tpu.utils.metrics import counters
 
-    frames = [make_frame(96, 96, seed=i) for i in range(3)]
-    stream = oracle_encode(frames, 96, 96, qp=30, codec="libx265", gop=1)
+    frames = [make_frame(64, 64, seed=i) for i in range(3)]
+    stream = oracle_encode(frames, 64, 64, qp=30, codec="libx265", gop=1)
     want, _, _ = oracle_decode(stream, suffix=".h265")
 
     before = counters.get("frames_device")
