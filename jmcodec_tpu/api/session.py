@@ -294,7 +294,11 @@ class DecoderSession:
                     self._decode_picture_fast(pic)
                     return
                 except NotImplementedError:
-                    pass  # outside fast-path scope (P/B, CABAC, PCM...)
+                    pass  # outside fast-path scope (B, CABAC, PCM, t8...)
+            if self.codec == Codec.H264:
+                # host-decoded pictures don't enter the device DPB: park
+                # the fast inter path until the next IDR re-anchors it
+                self._fast_dirty = True
             self._decode_picture_host(pic)
         except NotImplementedError as e:
             counters.add("unsupported_pictures")
@@ -314,19 +318,63 @@ class DecoderSession:
             if not (self._use_device and not fs.has_pcm
                     and not fs.has_t8 and not fs.has_b):
                 raise NotImplementedError("device path rejected picture")
-            from ..kernels.recon_tiles import decode_frame_symbols
-            with timers.stage("device_recon"):
-                Y, U, V = decode_frame_symbols(fs)
+            from ..kernels import recon_tiles as RT
+            if fs.mv is None:
+                with timers.stage("device_recon"):
+                    Y, U, V = RT.decode_frame_symbols(fs)
+            else:
+                # P picture: MC against the device-resident DPB. Emitting
+                # without a reorder buffer requires decode order == display
+                # order, guaranteed by poc type 2 (B-free streams)
+                if not getattr(fs, "no_reorder", False):
+                    raise NotImplementedError(
+                        "fast path: reordered (poc type 0) inter stream")
+                if getattr(self, "_fast_dirty", False):
+                    # a host-decoded picture broke the device DPB chain;
+                    # stay on the host path until the next IDR
+                    raise NotImplementedError("device DPB stale (fallback)")
+                refs = self._dev_list0(fs)
+                if not refs:
+                    raise ValueError(
+                        "reference POC missing from DPB")  # resync path
+                with timers.stage("device_recon"):
+                    Yd, Ud, Vd = RT.decode_frame_symbols_inter(fs, refs)
+                    Y, U, V = (np.asarray(p) for p in (Yd, Ud, Vd))
             counters.add("frames_device")
+            if fs.is_idr:
+                self._fast_dirty = False
             # mirror reference frames into the host DPB so a later host
-            # fallback (e.g. a P picture) sees the device-decoded refs
-            # (ADVICE r1 #1)
+            # fallback (e.g. an 8x8-transform picture) sees the
+            # device-decoded refs (ADVICE r1 #1), and keep the padded
+            # device copy for MC of later fast-path pictures
             if fs.nal_ref_idc != 0:
                 self._mirror_into_host_dpb(fs, Y, U, V)
+                self._dev_dpb_add(fs, Y, U, V)
             w, h = sps.width, sps.height
             self._frames.append((Y[:h, :w], U[:h // 2, :w // 2],
                                  V[:h // 2, :w // 2]))
             self._meter.tick_frame()
+
+    def _dev_dpb_add(self, fs, Y, U, V) -> None:
+        from ..kernels import recon_tiles as RT
+        import jax.numpy as jnp
+        if fs.is_idr:
+            self._dev_dpb = []
+        if not hasattr(self, "_dev_dpb"):
+            self._dev_dpb = []
+        padded = RT.pad_ref_device(jnp.asarray(np.asarray(Y, np.uint8)),
+                                   jnp.asarray(np.asarray(U, np.uint8)),
+                                   jnp.asarray(np.asarray(V, np.uint8)))
+        self._dev_dpb.insert(0, (fs.frame_num, padded))
+        del self._dev_dpb[max(1, fs.max_num_ref_frames):]
+
+    def _dev_list0(self, fs):
+        """Default P reference list: descending PicNum (wrap-aware), the
+        same order the host DPB.list0 builds (8.2.4.2.1)."""
+        dpb = getattr(self, "_dev_dpb", [])
+        max_fn = 1 << fs.log2_max_frame_num
+        order = sorted(dpb, key=lambda e: (fs.frame_num - e[0]) % max_fn)
+        return [planes for (_fn, planes) in order]
 
     def _host_refdec(self):
         if self._refdec is None:

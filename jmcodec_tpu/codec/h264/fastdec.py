@@ -2,7 +2,10 @@
 slice parsing -> FrameSymbols -> device recon.
 
 This is the fast path used by the session API and benchmarks; the pure-Python
-reference decoder (refdec.py) is the oracle it is tested against.
+reference decoder (refdec.py) is the oracle it is tested against. Covers
+CAVLC I and P slices (motion parsed + MV-predicted natively); CABAC, B
+slices and the 8x8 transform raise NotImplementedError so the caller falls
+back to the host reference path.
 """
 
 from __future__ import annotations
@@ -15,7 +18,7 @@ from ...utils.bits import BitReader
 from ... import native
 from . import nal
 from .params import PPS, SPS, parse_pps, parse_sps
-from .slicehdr import SLICE_I, parse_slice_header
+from .slicehdr import SLICE_I, SLICE_P, parse_slice_header
 from .symbols import FrameSymbols
 
 
@@ -59,15 +62,20 @@ class FastH264Parser:
         fs = FrameSymbols(mbw, mbh)
         parser = native.NativeSliceParser(mbw, mbh)
         hdr0 = None
+        has_p = False
         for slice_id, u in enumerate(units):
             hdr, r = parse_slice_header(u.rbsp, sps, pps, u.nal_unit_type,
                                         u.nal_ref_idc)
-            if hdr.slice_type != SLICE_I:
-                raise NotImplementedError("fast path: I slices only (round 1)")
+            if hdr.slice_type not in (SLICE_I, SLICE_P):
+                raise NotImplementedError("fast path: I/P slices only")
             if pps.entropy_coding_mode_flag:
                 raise NotImplementedError("CABAC")
-            if pps.transform_8x8_mode_flag:
+            if hdr.slice_type == SLICE_I and pps.transform_8x8_mode_flag:
                 raise NotImplementedError("8x8 transform (native parser)")
+            if hdr.ref_mods_l0 or hdr.mmco_ops or \
+                    hdr.adaptive_ref_pic_marking_mode_flag:
+                raise NotImplementedError(
+                    "ref list modification / MMCO (host path)")
             if hdr0 is None:
                 hdr0 = hdr
             elif len(units) > 1:
@@ -82,8 +90,18 @@ class FastH264Parser:
                 if cur != ref or hdr.disable_deblocking_filter_idc == 2:
                     raise NotImplementedError(
                         "per-slice deblock params differ (or idc==2)")
-            parser.parse_slice(fs, u.rbsp, r.pos, hdr.first_mb_in_slice,
-                               hdr.qp(pps), slice_id)
+            if hdr.slice_type == SLICE_P:
+                has_p = True
+                parser.parse_p_slice(
+                    fs, u.rbsp, r.pos, hdr.first_mb_in_slice, hdr.qp(pps),
+                    slice_id, hdr.num_ref_idx_active_l0,
+                    bool(pps.transform_8x8_mode_flag))
+            else:
+                parser.parse_slice(fs, u.rbsp, r.pos, hdr.first_mb_in_slice,
+                                   hdr.qp(pps), slice_id)
+        if has_p:
+            fs.mv = parser.mv.copy()
+            fs.ref = parser.ref.copy()
         fs.fill_availability(parser.slice_map)
         fs.frame_num = hdr0.frame_num
         fs.is_idr = hdr0.is_idr
@@ -97,4 +115,8 @@ class FastH264Parser:
         fs.second_chroma_qp_off = (pps.second_chroma_qp_index_offset
                                    if pps.second_chroma_qp_index_offset is not None
                                    else pps.chroma_qp_index_offset)
+        # decode order == display order is guaranteed for poc type 2
+        # (B-frame-free streams, e.g. x264 with bframes=0); the session's
+        # fast path requires this to emit without a reorder buffer
+        fs.no_reorder = sps.pic_order_cnt_type == 2
         return fs, sps

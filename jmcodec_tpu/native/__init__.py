@@ -177,3 +177,59 @@ def hevc_fill_plan(plan, hdr, sps, pps, rbsp: bytes,
         raise HevcNativeUnsupported(f"native HEVC parser: code {n}")
     if n <= 0:
         raise ValueError(f"native HEVC slice parse error {n}")
+
+
+def hevc_available() -> bool:
+    return get_lib() is not None
+
+
+class NativePSliceMixin:
+    """P-slice parsing for NativeSliceParser (motion grids + symbols)."""
+
+
+def _extend_p(parser_cls):
+    def init_motion(self):
+        if not hasattr(self, "mv"):
+            h, w = self.mbh * 4, self.mbw * 4
+            self.mv = np.zeros((h, w, 2), np.int32)
+            self.ref = np.full((h, w), -1, np.int32)
+            self.done = np.zeros((h, w), np.uint8)
+
+    def parse_p_slice(self, fs, rbsp: bytes, bit_offset: int, first_mb: int,
+                      slice_qp: int, slice_id: int, num_ref: int,
+                      t8_allowed: bool) -> int:
+        """Parse P slice_data into FrameSymbols fs + self.mv/self.ref."""
+        self.init_motion()
+        buf = np.frombuffer(rbsp, np.uint8)
+        if fs.pcm_y is None:
+            pcm_y = np.zeros((self.mbh * 16, self.mbw * 16), np.uint8)
+            pcm_c = np.zeros((2, self.mbh * 8, self.mbw * 8), np.uint8)
+        else:
+            pcm_y = fs.pcm_y.astype(np.uint8)
+            pcm_c = np.stack([fs.pcm_u, fs.pcm_v]).astype(np.uint8)
+        n = self.lib.jmx_parse_p_slice(
+            _ptr(buf), ctypes.c_int64(len(rbsp)), ctypes.c_int64(bit_offset),
+            self.mbw, self.mbh, first_mb, slice_qp, slice_id,
+            int(num_ref), 1 if t8_allowed else 0,
+            _ptr(self.nz_luma), _ptr(self.nz_chroma), _ptr(self.i4_grid),
+            _ptr(self.slice_map), _ptr(fs.mb_class), _ptr(fs.qp),
+            _ptr(fs.i4_modes), _ptr(fs.i16_mode), _ptr(fs.chroma_mode),
+            _ptr(fs.luma_coeffs), _ptr(fs.luma_dc), _ptr(fs.chroma_coeffs),
+            _ptr(fs.chroma_dc), _ptr(pcm_y), _ptr(pcm_c),
+            _ptr(self.mv), _ptr(self.ref), _ptr(self.done))
+        if n == -21:
+            raise NotImplementedError("8x8 transform (native P fast path)")
+        if n < 0:
+            raise ValueError(f"native P slice parse error {n}")
+        if (fs.mb_class == 2).any():
+            fs.has_pcm = True
+            fs.pcm_y = pcm_y.astype(np.int32)
+            fs.pcm_u = pcm_c[0].astype(np.int32)
+            fs.pcm_v = pcm_c[1].astype(np.int32)
+        return n
+
+    parser_cls.init_motion = init_motion
+    parser_cls.parse_p_slice = parse_p_slice
+
+
+_extend_p(NativeSliceParser)
