@@ -406,12 +406,45 @@ class DecoderSession:
             self._frames.append(fr.crop(sps))
             self._meter.tick_frame()
 
-    def _hevc_device_recon(self, plan):
+    def _hevc_device_recon(self, plan, ref_pixels):
         """device_recon hook for HevcRefDecoder: run the wavefront kernel
-        on the picture plan, return host coded-size planes for the DPB."""
-        from ..kernels.hevc_tiles import decode_plan
+        on the picture plan (intra) or the MC+wavefront kernel (inter,
+        against cached fractional-phase reference pyramids), return host
+        coded-size planes for the DPB. The phase-pyramid cache keeps the
+        reference chain device-resident across pictures."""
+        import jax.numpy as jnp
+        from ..kernels.hevc_tiles import decode_plan_inter, prep_hevc_ref
+        R_MAX = 4  # fixed ref-stack depth: one compile per geometry
+        if plan.ref_pocs and len(plan.ref_pocs) > R_MAX:
+            raise NotImplementedError("more than 4 unique reference POCs")
+        cache = getattr(self, "_hevc_ref_cache", None)
+        if cache is None:
+            cache = self._hevc_ref_cache = {}
+        if plan.is_idr:
+            cache.clear()  # POC resets; stale same-POC entries are wrong
         with timers.stage("device_recon"):
-            Y, U, V = decode_plan(plan, coded=True)
+            for (p, y, cb, cr) in ref_pixels:
+                if p not in cache:
+                    cache[p] = prep_hevc_ref(
+                        jnp.asarray(np.asarray(y, np.uint8)),
+                        jnp.asarray(np.asarray(cb, np.uint8)),
+                        jnp.asarray(np.asarray(cr, np.uint8)))
+            entries = [cache[p] for (p, _, _, _) in ref_pixels]
+            if not entries:
+                ph2 = plan.ph + 128
+                pw2 = plan.pw + 128
+                entries = [(jnp.zeros((16, ph2, pw2), jnp.int16),
+                            jnp.zeros((8, ph2 // 2, pw2 // 2), jnp.int16),
+                            jnp.zeros((8, ph2 // 2, pw2 // 2), jnp.int16))]
+            while len(entries) < R_MAX:
+                entries.append(entries[0])
+            stacks = tuple(jnp.stack([e[i] for e in entries])
+                           for i in range(3))
+            Y, U, V = decode_plan_inter(plan, stacks, coded=True)
+            # this picture may serve as a reference: prep while on device
+            cache[plan.poc] = prep_hevc_ref(Y, U, V)
+            while len(cache) > 6:
+                cache.pop(next(iter(cache)))
             out = (np.asarray(Y), np.asarray(U), np.asarray(V))
         counters.add("frames_device")
         return out

@@ -76,8 +76,79 @@ class HevcFramePlan:
     sao_band: Optional[np.ndarray] = None    # [ctb_h, ctb_w, 3] int32
     sao_eo: Optional[np.ndarray] = None      # [ctb_h, ctb_w, 3] int32
 
+    # inter prediction (None for all-intra pictures): per-4x4-cell motion
+    # against a DPB slot stack; inter TUs carry their own size map (DCT
+    # residuals added before the intra wavefront runs)
+    inter4: Optional[np.ndarray] = None       # [Hp//4, Wp//4] uint8
+    mv: Optional[np.ndarray] = None           # [2, Hp//4, Wp//4, 2] int32
+    ref_slot: Optional[np.ndarray] = None     # [2, Hp//4, Wp//4] int32
+    pred_fl: Optional[np.ndarray] = None      # [2, Hp//4, Wp//4] uint8
+    tu_log2_inter_y: Optional[np.ndarray] = None  # [Hp//4, Wp//4]
+    tu_log2_inter_c: Optional[np.ndarray] = None  # [Hp//8, Wp//8]
+    ref_pocs: Optional[list] = None           # POC per slot
+    poc: int = 0
+    is_idr: bool = False
+    is_reference: bool = True
+
     n_slices: int = 0
     _zctr: int = 0
+
+    MAX_ABS_MV_PX = 56  # device MC pad budget; larger motion -> host path
+
+    def enable_inter(self) -> None:
+        cell = (self.Hp // 4, self.Wp // 4)
+        self.inter4 = np.zeros(cell, np.uint8)
+        self.mv = np.zeros((2,) + cell + (2,), np.int32)
+        self.ref_slot = np.zeros((2,) + cell, np.int32)
+        self.pred_fl = np.zeros((2,) + cell, np.uint8)
+        self.tu_log2_inter_y = np.zeros(cell, np.int32)
+        self.tu_log2_inter_c = np.zeros((self.Hp // 8, self.Wp // 8),
+                                        np.int32)
+
+    def record_pu(self, xp: int, yp: int, w: int, h: int, pred: int,
+                  mv, ref_slot) -> None:
+        ys = slice(yp // 4, (yp + h) // 4)
+        xs = slice(xp // 4, (xp + w) // 4)
+        self.inter4[ys, xs] = 1
+        for lx in (0, 1):
+            if not (pred & (1 << lx)):
+                continue
+            mvx, mvy = int(mv[lx][0]), int(mv[lx][1])
+            if (abs(mvx) > 4 * self.MAX_ABS_MV_PX or
+                    abs(mvy) > 4 * self.MAX_ABS_MV_PX):
+                self.supported = False
+                self.reason = "MV beyond device MC pad"
+            self.pred_fl[lx, ys, xs] = 1
+            self.mv[lx, ys, xs] = (mvx, mvy)
+            self.ref_slot[lx, ys, xs] = ref_slot[lx]
+
+    def record_inter_cu_done(self, x0: int, y0: int, n: int) -> None:
+        """Assign the CU's z-scan index AFTER its prediction+residual: a
+        later intra TU may reference these cells, an earlier one may not
+        (6.4.1 z-scan availability, mirrored by the device zidx compare)."""
+        ys, xs = slice(y0 // 4, (y0 + n) // 4), slice(x0 // 4, (x0 + n) // 4)
+        self.zidx_y[ys, xs] = self.next_zidx()
+        cys = slice(y0 // 8, (y0 + n) // 8)
+        cxs = slice(x0 // 8, (x0 + n) // 8)
+        self.zidx_c[cys, cxs] = self.next_zidx()
+
+    def record_inter_luma_tu(self, x0: int, y0: int, n: int,
+                             coeffs: Optional[np.ndarray]) -> None:
+        log2 = n.bit_length() - 1
+        ys, xs = slice(y0 // 4, (y0 + n) // 4), slice(x0 // 4, (x0 + n) // 4)
+        self.tu_log2_inter_y[ys, xs] = log2
+        if coeffs is not None:
+            self.coeff_y[y0:y0 + n, x0:x0 + n] = coeffs
+
+    def record_inter_chroma_tu(self, xc: int, yc: int, n: int,
+                               coeffs_cb, coeffs_cr) -> None:
+        log2 = n.bit_length() - 1
+        ys, xs = slice(yc // 4, (yc + n) // 4), slice(xc // 4, (xc + n) // 4)
+        self.tu_log2_inter_c[ys, xs] = log2
+        if coeffs_cb is not None:
+            self.coeff_cb[yc:yc + n, xc:xc + n] = coeffs_cb
+        if coeffs_cr is not None:
+            self.coeff_cr[yc:yc + n, xc:xc + n] = coeffs_cr
 
     @classmethod
     def create(cls, sps) -> "HevcFramePlan":

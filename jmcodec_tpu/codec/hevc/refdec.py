@@ -269,13 +269,21 @@ class HevcRefDecoder:
             self.dpb = []
         poc = self._compute_poc(hdr0, sps)
         self.n_pictures += 1
+        all_i = all(h.slice_type == I_SLICE for h, _, _ in slices)
+        has_wp = any(h.wp is not None for h, _, _ in slices)
         use_plan = self.plan_only or (
-            self.device_recon is not None and
-            all(h.slice_type == I_SLICE for h, _, _ in slices))
+            self.device_recon is not None and (all_i or not has_wp))
         plan = None
         if use_plan:
             from .plan import HevcFramePlan
             plan = HevcFramePlan.create(sps)
+            plan.poc = poc
+            plan.is_idr = bool(hdr0.is_idr)
+            if not self.plan_only:
+                # one kernel serves intra AND inter pictures (all-intra
+                # pictures carry zeroed motion): a single XLA compile per
+                # stream geometry instead of two
+                plan.enable_inter()
         before, after = self._apply_rps(hdr0, poc)
         planes = self._decode_picture_slices(slices, sps, pps, poc,
                                              before, after, plan)
@@ -308,7 +316,8 @@ class HevcRefDecoder:
         hdr0 = slices[0][0]
         if (plan is not None and not self.plan_only and self.use_native
                 and len(slices) == 1 and hdr0.first_slice
-                and not hdr0.dependent):
+                and not hdr0.dependent
+                and hdr0.slice_type == I_SLICE):
             # fast path: C++ CABAC/syntax parse straight into the plan
             # tensors, Python keeps only headers + DPB bookkeeping
             from ... import native
@@ -317,7 +326,7 @@ class HevcRefDecoder:
                 plan.record_slice(hdr, pps)
                 native.hevc_fill_plan(plan, hdr, sps, pps, rbsp,
                                       _substream_offsets(hdr, emu))
-                planes = self.device_recon(plan)
+                planes = self.device_recon(plan, [])
                 self.pic = _Picture(sps, pps, plan=plan)
                 self.pic.poc = poc
                 self.pic.intra4[:] = 1  # all-intra picture (DPB metadata)
@@ -332,10 +341,22 @@ class HevcRefDecoder:
                 self.pic.cur_refs = self._ref_lists(hdr, before, after)
                 self.pic.no_backward = all(
                     rp.poc <= poc for lst in self.pic.cur_refs for rp in lst)
+                if plan is not None:
+                    pocs = []
+                    for lst in self.pic.cur_refs:
+                        for rp in lst:
+                            if rp.poc not in pocs:
+                                pocs.append(rp.poc)
+                    self.pic.slot_of = {p: i for i, p in enumerate(pocs)}
+                    plan.ref_pocs = pocs
             self._decode_slice(hdr, rbsp, emu)
         self.pic.finish_bs()
         if plan is None:
             return None
+        if plan.inter4 is not None:
+            # uniform slice QP (cu_qp_delta rejected; multi-slice plans are
+            # flagged unsupported): deblock + inter dequant read it per cell
+            plan.qp_y[:] = slices[0][0].qp
         ch, cw = self.pic.bs_ver.shape
         plan.bs_ver[:ch, :cw] = self.pic.bs_ver
         plan.bs_hor[:ch, :cw] = self.pic.bs_hor
@@ -344,7 +365,11 @@ class HevcRefDecoder:
             return None
         if plan.supported:
             try:
-                return self.device_recon(plan)
+                ref_pixels = []
+                for p in (plan.ref_pocs or []):
+                    rp = self._pic_by_poc(p)
+                    ref_pixels.append((p, rp.y, rp.cb, rp.cr))
+                return self.device_recon(plan, ref_pixels)
             except NotImplementedError:
                 pass
         # outside device-plan scope (multi-slice, ...): host re-decode
@@ -556,6 +581,8 @@ class _Picture:
                 self._prediction_unit(c, x0, y0, n, x0, y0, n, n, 0,
                                       PART_2Nx2N, skip=True)
                 self._mark_cu_edges(x0, y0, n)
+                if self.plan is not None:
+                    self.plan.record_inter_cu_done(x0, y0, n)
                 return
             if not c.decode(CT.PRED_MODE_FLAG):
                 self._inter_cu(c, x0, y0, log2size, depth)
@@ -644,6 +671,8 @@ class _Picture:
             self._transform_tree(
                 c, x0, y0, x0, y0, log2size, 0, 0,
                 sps.max_transform_hierarchy_depth_inter, inter_split, 1, 1)
+        if self.plan is not None:
+            self.plan.record_inter_cu_done(x0, y0, n)
 
     # -- prediction unit (7.3.8.6) ----------------------------------------------
 
@@ -724,14 +753,20 @@ class _Picture:
                 self.cur_refs[lx][ref_idx[lx]].poc if on else 0)
         self.mot_done[ys, xs] = True
         self.intra4[ys, xs] = 0
-        wp = None
-        if hdr.wp is not None:
-            wp = (hdr.wp, hdr.luma_denom, hdr.chroma_denom)
-        py, pcb, pcr = INT.predict_pu(self.cur_refs, xp, yp, w, h, pred,
-                                      mv, ref_idx, wp=wp)
-        self.y[yp:yp + h, xp:xp + w] = py
-        self.cb[yp >> 1:(yp + h) >> 1, xp >> 1:(xp + w) >> 1] = pcb
-        self.cr[yp >> 1:(yp + h) >> 1, xp >> 1:(xp + w) >> 1] = pcr
+        if self.plan is not None:
+            # device path: record the derived motion; pixels on the TPU
+            slots = [self.slot_of[self.cur_refs[lx][ref_idx[lx]].poc]
+                     if (pred & (1 << lx)) else 0 for lx in (0, 1)]
+            self.plan.record_pu(xp, yp, w, h, pred, mv, slots)
+        else:
+            wp = None
+            if hdr.wp is not None:
+                wp = (hdr.wp, hdr.luma_denom, hdr.chroma_denom)
+            py, pcb, pcr = INT.predict_pu(self.cur_refs, xp, yp, w, h, pred,
+                                          mv, ref_idx, wp=wp)
+            self.y[yp:yp + h, xp:xp + w] = py
+            self.cb[yp >> 1:(yp + h) >> 1, xp >> 1:(xp + w) >> 1] = pcb
+            self.cr[yp >> 1:(yp + h) >> 1, xp >> 1:(xp + w) >> 1] = pcr
         self.avail_y[ys, xs] = True
         self.avail_c[yp // (2 * g):(yp + h) // (2 * g),
                      xp // (2 * g):(xp + w) // (2 * g)] = True
@@ -1148,10 +1183,13 @@ class _Picture:
         if self.cu_pred_mode == MODE_INTER:
             if cbf_luma:
                 coeffs = self._residual(c, log2size, 0, 0)
-                d = TR.dequant(coeffs, qp, log2size)
-                res = TR.inverse_transform(d, log2size, dst=False)
-                blk = self.y[y0:y0 + n, x0:x0 + n]
-                self.y[y0:y0 + n, x0:x0 + n] = np.clip(blk + res, 0, 255)
+                if self.plan is not None:
+                    self.plan.record_inter_luma_tu(x0, y0, n, coeffs)
+                else:
+                    d = TR.dequant(coeffs, qp, log2size)
+                    res = TR.inverse_transform(d, log2size, dst=False)
+                    blk = self.y[y0:y0 + n, x0:x0 + n]
+                    self.y[y0:y0 + n, x0:x0 + n] = np.clip(blk + res, 0, 255)
             if log2size > 2:
                 self._chroma_unit(c, x0 >> 1, y0 >> 1, log2size - 1,
                                   cbf_cb, cbf_cr)
@@ -1187,6 +1225,7 @@ class _Picture:
         hdr = self.cur_hdr
         n = 1 << log2size
         if self.cu_pred_mode == MODE_INTER:
+            plan_c = [None, None]
             for cidx, (plane, cbf, off) in enumerate((
                     (self.cb, cbf_cb, pps.cb_qp_offset + hdr.cb_qp_offset),
                     (self.cr, cbf_cr, pps.cr_qp_offset + hdr.cr_qp_offset)),
@@ -1194,11 +1233,16 @@ class _Picture:
                 if not cbf:
                     continue
                 coeffs = self._residual(c, log2size, cidx, 0)
+                if self.plan is not None:
+                    plan_c[cidx - 1] = coeffs
+                    continue
                 qpc = TR.chroma_qp(qp, off)
                 d = TR.dequant(coeffs, qpc, log2size)
                 res = TR.inverse_transform(d, log2size, dst=False)
                 blk = plane[yc:yc + n, xc:xc + n]
                 plane[yc:yc + n, xc:xc + n] = np.clip(blk + res, 0, 255)
+            if self.plan is not None and (cbf_cb or cbf_cr):
+                self.plan.record_inter_chroma_tu(xc, yc, n, *plan_c)
             return
         mode = self.cu_cmode
         plan_coeffs = [None, None]

@@ -449,7 +449,7 @@ def _make_walk(C: int, max_tu: int, is_chroma: bool, strong: bool,
 
 def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
                 C: int, skew: int, max_tu: int, is_chroma: bool,
-                strong: bool, groups: int = 1):
+                strong: bool, groups: int = 1, base_t=None):
     """resid_t [steps, B, C, C]; cell-grid tiles [steps, B, C/4, C/4];
     valid/has_left [steps, B]. Returns recon tiles [steps, B, C, C].
 
@@ -470,7 +470,11 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
 
     def body(carry, xs):
         Rpx, Rz, Cpx, Cz = carry
-        resid, zw, tu, mode, valid, has_left = xs
+        if base_t is not None:
+            resid, zw, tu, mode, valid, has_left, base = xs
+        else:
+            resid, zw, tu, mode, valid, has_left = xs
+            base = None
         roll1 = lambda x: jnp.roll(x, 1, axis=0)
         top_ext = jnp.concatenate(
             [roll1(Rpx[skew - 1 - j]) for j in range(e + 1)], axis=-1)
@@ -481,6 +485,10 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
         hl = has_left == 1
 
         F = jnp.zeros((B, 1 + C + PB, WF), jnp.int32)
+        if base is not None:
+            # inter pictures: seed the tile interior with the MC+residual
+            # reconstruction; intra TU recon events overwrite their areas
+            F = F.at[:, 1:1 + C, 1:1 + C].set(base)
         F = F.at[:, 0, 1:].set(top_ext)
         F = F.at[:, 0, 0].set(tl_px)
         F = F.at[:, 1:1 + C, 0].set(Cpx)
@@ -509,9 +517,10 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
               jnp.full((skew + 1, B, C4), ZIDX_NONE, jnp.int32),
               jnp.zeros((B, C), jnp.int32),
               jnp.full((B, C4), ZIDX_NONE, jnp.int32))
-    _, ys = jax.lax.scan(body, carry0,
-                         (resid_t, zidx_t, tu_t, mode_t, valid_t,
-                          has_left_t))
+    xs = (resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t)
+    if base_t is not None:
+        xs = xs + (base_t,)
+    _, ys = jax.lax.scan(body, carry0, xs)
     return ys
 
 
@@ -935,6 +944,259 @@ def decode_plan(plan, coded: bool = False):
         j(plan.bs_ver), j(plan.bs_hor),
         j(plan.sao_type), j(plan.sao_offsets), j(plan.sao_band),
         j(plan.sao_eo))
+    if coded:
+        return Y, U, V
+    h, w = plan.height, plan.width
+    return Y[:h, :w], U[:h // 2, :w // 2], V[:h // 2, :w // 2]
+
+
+# ---------------------------------------------------------------------------
+# inter pictures (P/B): phase-plane motion compensation + device DPB
+# ---------------------------------------------------------------------------
+# The reference decodes inter pictures in silicon behind cuvidDecodePicture;
+# here MC is a batched per-4x4-cell gather from precomputed fractional-phase
+# plane pyramids (16 luma quarter-pel phases per reference; chroma keeps the
+# 8 horizontal eighth-pel phases and applies the 4-tap vertical filter at
+# gather time). Interpolated values are held at the spec's 14-bit
+# intermediate precision so bi-prediction combines exactly (8.5.4.2.2).
+
+MC_PAD_HEVC = 64   # luma pad; plan gates |mv| <= 4*(PAD-8) quarter-pel
+
+_LUMA_F = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1]], np.int32)
+_CHROMA_F = np.array([
+    [0, 64, 0, 0], [-2, 58, 10, -2], [-4, 54, 16, -2], [-6, 46, 28, -4],
+    [-4, 36, 36, -4], [-4, 28, 46, -6], [-2, 16, 54, -4],
+    [-2, 10, 58, -2]], np.int32)
+
+
+@jax.jit
+def prep_hevc_ref(Y, U, V):
+    """Coded-size uint8 planes -> (luma_ph [16, Hp2, Wp2] int16,
+    cb_ph [8, ...], cr_ph [8, ...]) fractional-phase pyramids, padded by
+    MC_PAD_HEVC (luma) / MC_PAD_HEVC//2 (chroma), 14-bit sample scale."""
+    P = MC_PAD_HEVC
+    y = jnp.pad(Y.astype(jnp.int32), P, mode="edge")
+
+    def hconv8(a, f):
+        ap = jnp.pad(a, ((0, 0), (3, 4)), mode="edge")
+        return sum(int(f[k]) * ap[:, k:k + a.shape[1]] for k in range(8))
+
+    def vconv8(a, f):
+        ap = jnp.pad(a, ((3, 4), (0, 0)), mode="edge")
+        return sum(int(f[k]) * ap[k:k + a.shape[0], :] for k in range(8))
+
+    hor = [y << 6 if xf == 0 else hconv8(y, _LUMA_F[xf]) for xf in range(4)]
+    phases = []
+    for yf in range(4):
+        for xf in range(4):
+            if yf == 0:
+                phases.append(hor[xf])
+            else:
+                phases.append(vconv8(hor[xf], _LUMA_F[yf]) >> 6)
+    luma_ph = jnp.stack(phases).astype(jnp.int16)
+
+    def hconv4(a, f):
+        ap = jnp.pad(a, ((0, 0), (1, 2)), mode="edge")
+        return sum(int(f[k]) * ap[:, k:k + a.shape[1]] for k in range(4))
+
+    def chroma_ph(Cpl):
+        c = jnp.pad(Cpl.astype(jnp.int32), P // 2, mode="edge")
+        return jnp.stack(
+            [c << 6 if xf == 0 else hconv4(c, _CHROMA_F[xf])
+             for xf in range(8)]).astype(jnp.int16)
+
+    return luma_ph, chroma_ph(U), chroma_ph(V)
+
+
+def _mc_hevc_luma(ref_ph, mv, slot):
+    """ref_ph [R, 16, Hp2, Wp2] int16; mv/slot per 4x4 cell ->
+    [Hc, Wc, 4, 4] int32 14-bit prediction."""
+    Hc, Wc = slot.shape
+    ys_, xs_ = np.mgrid[0:Hc, 0:Wc]
+    xi = xs_ * 4 + MC_PAD_HEVC + (mv[..., 0] >> 2)
+    yi = ys_ * 4 + MC_PAD_HEVC + (mv[..., 1] >> 2)
+    ph = (mv[..., 1] & 3) * 4 + (mv[..., 0] & 3)
+    rows = yi[..., None, None] + np.arange(4)[:, None]
+    cols = xi[..., None, None] + np.arange(4)[None, :]
+    return ref_ph[slot[..., None, None], ph[..., None, None],
+                  rows, cols].astype(jnp.int32)
+
+
+def _mc_hevc_chroma(ref_ph, mv, slot):
+    """ref_ph [R, 8, Hc2, Wc2] int16 horizontal phases; 4-tap vertical at
+    gather time -> [Hc, Wc, 2, 2] int32 14-bit (per co-located 2x2 block)."""
+    Hc, Wc = slot.shape
+    ys_, xs_ = np.mgrid[0:Hc, 0:Wc]
+    xi = xs_ * 2 + MC_PAD_HEVC // 2 + (mv[..., 0] >> 3)
+    yi = ys_ * 2 + MC_PAD_HEVC // 2 + (mv[..., 1] >> 3)
+    xf = mv[..., 0] & 7
+    taps = jnp.asarray(_CHROMA_F)[mv[..., 1] & 7]       # [Hc, Wc, 4]
+    rows = yi[..., None, None] + (np.arange(5) - 1)[:, None]
+    cols = xi[..., None, None] + np.arange(2)[None, :]
+    win = ref_ph[slot[..., None, None], xf[..., None, None],
+                 rows, cols].astype(jnp.int32)          # [Hc, Wc, 5, 2]
+    out = sum(taps[..., k, None, None] * win[..., k:k + 2, :]
+              for k in range(4))
+    return out >> 6
+
+
+def _combine_pred(p0, p1, fl0, fl1):
+    """14-bit list predictions -> 8-bit samples (8.5.4.2.3 default)."""
+    bi = (fl0 & fl1).astype(bool)[..., None, None]
+    f0 = fl0.astype(bool)[..., None, None]
+    out = jnp.where(bi, (p0 + p1 + 64) >> 7,
+                    jnp.where(f0, (p0 + 32) >> 6, (p1 + 32) >> 6))
+    return jnp.clip(out, 0, 255)
+
+
+def _cells_to_plane_j(cells):
+    gh, gw, n, _ = cells.shape
+    return cells.transpose(0, 2, 1, 3).reshape(gh * n, gw * n)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "Hp", "Wp", "log2_ctb", "strong", "deblock_on", "pw", "ph"))
+def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
+                            deblock_on: bool, pw: int, ph: int,
+                            coeff_y, tu_y, mode_y, zidx_y, qp_y,
+                            coeff_cb, coeff_cr, tu_c, mode_c, zidx_c,
+                            cb_qp_off, cr_qp_off, beta_off, tc_off,
+                            bs_ver, bs_hor,
+                            sao_type, sao_offsets, sao_band, sao_eo,
+                            inter4, mv, ref_slot, pred_fl,
+                            tu_inter_y, tu_inter_c,
+                            refs_y, refs_cb, refs_cr):
+    """Inter (P/B) HEVC device decode: phase-plane MC + inter residuals
+    seed the intra wavefront; deblock bS comes precomputed from the host
+    (full 8.7.2.4 derivation incl. motion comparisons). Returns coded-size
+    (Y, U, V) uint8."""
+    C = 1 << log2_ctb
+    ctb_h, ctb_w = Hp // C, Wp // C
+    maxtb = min(32, C)
+    skew = 1 + (2 * maxtb + C - 1) // C
+    cys, cxs, valid, has_left = _skew_geometry(ctb_h, ctb_w, skew)
+    cys_j, cxs_j = jnp.asarray(cys), jnp.asarray(cxs)
+    valid_j = jnp.asarray(valid)
+    hl_j = jnp.asarray(has_left)
+    i32 = lambda a: a.astype(jnp.int32)
+    (coeff_y, tu_y, mode_y, zidx_y, qp_y, coeff_cb, coeff_cr, tu_c,
+     mode_c, zidx_c, bs_ver, bs_hor, inter4, mv, ref_slot, pred_fl,
+     tu_inter_y, tu_inter_c, sao_type, sao_offsets, sao_band, sao_eo) = map(
+        i32, (coeff_y, tu_y, mode_y, zidx_y, qp_y, coeff_cb, coeff_cr,
+              tu_c, mode_c, zidx_c, bs_ver, bs_hor, inter4, mv, ref_slot,
+              pred_fl, tu_inter_y, tu_inter_c, sao_type, sao_offsets,
+              sao_band, sao_eo))
+
+    # ---- motion compensation (whole frame, both lists) ----
+    mc_y0 = _mc_hevc_luma(refs_y, mv[0], ref_slot[0])
+    mc_y1 = _mc_hevc_luma(refs_y, mv[1], ref_slot[1])
+    pred_y = _cells_to_plane_j(
+        _combine_pred(mc_y0, mc_y1, pred_fl[0], pred_fl[1]))
+    mc_cb0 = _mc_hevc_chroma(refs_cb, mv[0], ref_slot[0])
+    mc_cb1 = _mc_hevc_chroma(refs_cb, mv[1], ref_slot[1])
+    pred_cb = _cells_to_plane_j(
+        _combine_pred(mc_cb0, mc_cb1, pred_fl[0], pred_fl[1]))
+    mc_cr0 = _mc_hevc_chroma(refs_cr, mv[0], ref_slot[0])
+    mc_cr1 = _mc_hevc_chroma(refs_cr, mv[1], ref_slot[1])
+    pred_cr = _cells_to_plane_j(
+        _combine_pred(mc_cr0, mc_cr1, pred_fl[0], pred_fl[1]))
+
+    # ---- residuals ----
+    resid_y = _residual_plane(coeff_y, qp_y, tu_y, True, (2, 3, 4, 5))
+    resid_y_i = _residual_plane(coeff_y, qp_y, tu_inter_y, False,
+                                (2, 3, 4, 5))
+    qpc_cb = jnp.asarray(_QPC_T)[jnp.clip(qp_y[::2, ::2] + cb_qp_off, 0, 57)]
+    qpc_cr = jnp.asarray(_QPC_T)[jnp.clip(qp_y[::2, ::2] + cr_qp_off, 0, 57)]
+    resid_cb = _residual_plane(coeff_cb, qpc_cb, tu_c, False, (2, 3, 4))
+    resid_cr = _residual_plane(coeff_cr, qpc_cr, tu_c, False, (2, 3, 4))
+    resid_cb_i = _residual_plane(coeff_cb, qpc_cb, tu_inter_c, False,
+                                 (2, 3, 4, 5))
+    resid_cr_i = _residual_plane(coeff_cr, qpc_cr, tu_inter_c, False,
+                                 (2, 3, 4, 5))
+
+    # ---- inter base = clip(MC + residual), masked to inter cells ----
+    px_inter = jnp.repeat(jnp.repeat(inter4, 4, 0), 4, 1)
+    base_y = jnp.where(px_inter != 0,
+                       jnp.clip(pred_y + resid_y_i, 0, 255), 0)
+    cx_inter = jnp.repeat(jnp.repeat(inter4[::2, ::2], 4, 0), 4, 1)[
+        :Hp // 2, :Wp // 2]
+    base_cb = jnp.where(cx_inter != 0,
+                        jnp.clip(pred_cb + resid_cb_i, 0, 255), 0)
+    base_cr = jnp.where(cx_inter != 0,
+                        jnp.clip(pred_cr + resid_cr_i, 0, 255), 0)
+
+    # inter cells carry their CU's z-scan index (plan.record_inter_cu_done)
+    # so the zidx availability compare matches 6.4.1 exactly
+
+    # ---- luma scan (intra TUs reconstruct over the inter base) ----
+    t = lambda p, n: _skew(_plane_to_ctb_tiles(p, ctb_h, ctb_w, n),
+                           cys_j, cxs_j)
+    Yt = _intra_scan(t(resid_y, C), t(zidx_y, C // 4), t(tu_y, C // 4),
+                     t(mode_y, C // 4), valid_j, hl_j,
+                     C, skew, 32, is_chroma=False, strong=strong,
+                     base_t=t(base_y, C))
+    Y = _unskew_to_plane(Yt, cys_j, cxs_j, valid_j, ctb_h, ctb_w, C)
+
+    # ---- chroma scan ----
+    Cc = C // 2
+    cat2 = lambda a, b: jnp.concatenate([a, b], axis=1)
+    rc = cat2(t(resid_cb, Cc), t(resid_cr, Cc))
+    zc2 = cat2(t(zidx_c, Cc // 4), t(zidx_c, Cc // 4))
+    tc2 = cat2(t(tu_c, Cc // 4), t(tu_c, Cc // 4))
+    mc2 = cat2(t(mode_c, Cc // 4), t(mode_c, Cc // 4))
+    v2 = cat2(valid_j, valid_j)
+    h2 = cat2(hl_j, hl_j)
+    bc2 = cat2(t(base_cb, Cc), t(base_cr, Cc))
+    Ct = _intra_scan(rc, zc2, tc2, mc2, v2, h2,
+                     Cc, skew, 16, is_chroma=True, strong=False, groups=2,
+                     base_t=bc2)
+    U = _unskew_to_plane(Ct[:, :ctb_h], cys_j, cxs_j, valid_j,
+                         ctb_h, ctb_w, Cc)
+    V = _unskew_to_plane(Ct[:, ctb_h:], cys_j, cxs_j, valid_j,
+                         ctb_h, ctb_w, Cc)
+
+    # ---- in-loop filters ----
+    if deblock_on:
+        Y, U, V = _deblock(Y, U, V, bs_ver, bs_hor, qp_y, beta_off, tc_off,
+                           cb_qp_off, cr_qp_off)
+    Y = _sao_plane(Y, sao_type[..., 0], sao_offsets[..., 0, :],
+                   sao_band[..., 0], sao_eo[..., 0], log2_ctb, pw, ph)
+    U = _sao_plane(U, sao_type[..., 1], sao_offsets[..., 1, :],
+                   sao_band[..., 1], sao_eo[..., 1], log2_ctb - 1,
+                   pw // 2, ph // 2)
+    V = _sao_plane(V, sao_type[..., 2], sao_offsets[..., 2, :],
+                   sao_band[..., 2], sao_eo[..., 2], log2_ctb - 1,
+                   pw // 2, ph // 2)
+    return (Y[:ph, :pw].astype(jnp.uint8),
+            U[:ph // 2, :pw // 2].astype(jnp.uint8),
+            V[:ph // 2, :pw // 2].astype(jnp.uint8))
+
+
+def decode_plan_inter(plan, ref_stacks, coded: bool = False):
+    """Inter HevcFramePlan + (refs_y [R,16,..], refs_cb, refs_cr) stacks ->
+    (Y, U, V) uint8 device arrays (coded size when coded=True)."""
+    if not plan.supported:
+        raise NotImplementedError(f"plan unsupported: {plan.reason}")
+    j = jnp.asarray
+    Y, U, V = decode_frame_hevc_inter(
+        plan.Hp, plan.Wp, plan.log2_ctb, bool(plan.strong_smoothing),
+        not plan.deblock_disabled, plan.pw, plan.ph,
+        j(plan.coeff_y), j(plan.tu_log2_y), j(plan.mode_y), j(plan.zidx_y),
+        j(plan.qp_y),
+        j(plan.coeff_cb), j(plan.coeff_cr), j(plan.tu_log2_c),
+        j(plan.mode_c), j(plan.zidx_c),
+        jnp.int32(plan.cb_qp_off), jnp.int32(plan.cr_qp_off),
+        jnp.int32(plan.beta_off), jnp.int32(plan.tc_off),
+        j(plan.bs_ver), j(plan.bs_hor),
+        j(plan.sao_type), j(plan.sao_offsets), j(plan.sao_band),
+        j(plan.sao_eo),
+        j(plan.inter4), j(plan.mv), j(plan.ref_slot), j(plan.pred_fl),
+        j(plan.tu_log2_inter_y), j(plan.tu_log2_inter_c),
+        *ref_stacks)
     if coded:
         return Y, U, V
     h, w = plan.height, plan.width

@@ -17,6 +17,7 @@ run tests/ --ignore=tests/test_device_recon.py \
            --ignore=tests/test_device_inter.py \
            --ignore=tests/test_device_encode.py \
            --ignore=tests/test_hevc_device.py \
+           --ignore=tests/test_hevc_device_inter.py \
            --ignore=tests/test_hevc_native.py \
            --ignore=tests/test_session.py \
            --ignore=tests/test_parallel.py \
@@ -26,8 +27,14 @@ run tests/test_device_recon.py tests/test_device_inter.py \
     tests/test_pallas_idct.py
 # device encoder
 run tests/test_device_encode.py
-# HEVC device kernel + native parser + session device paths
-run tests/test_hevc_device.py tests/test_hevc_native.py
+# HEVC device kernel: ONE wavefront-geometry compile per process (this
+# jaxlib's CPU compiler segfaults once a process holds two of these
+# multi-GB executables)
+run tests/test_hevc_device.py -k "not wpp and not sweep and not partial"
+run tests/test_hevc_device.py -k "wpp or sweep"
+run tests/test_hevc_device.py -k "partial"
+run tests/test_hevc_device_inter.py
+run tests/test_hevc_native.py
 run tests/test_session.py
 # sharded multi-device paths
 run tests/test_parallel.py
