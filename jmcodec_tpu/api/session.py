@@ -587,10 +587,24 @@ class EncoderSession:
         else:
             from ..codec.h264.refenc import (EncoderConfig,
                                              H264ReferenceEncoder)
+            # preset table parity (nv_enc.cpp:653-674 default/hp/hq GUIDs;
+            # intel_enc TargetUsage 1-7): speed presets trade search range
+            # and partition evaluation for throughput
+            preset_knobs = {
+                "fast": dict(search_range=8, inter_partitions=False),
+                "hp": dict(search_range=8, inter_partitions=False),
+                "balanced": dict(search_range=16, inter_partitions=True),
+                "default": dict(search_range=16, inter_partitions=True),
+                "quality": dict(search_range=24, inter_partitions=True),
+                "hq": dict(search_range=24, inter_partitions=True),
+            }
+            knobs = preset_knobs.get(self.params.preset)
+            if knobs is None:
+                raise ValueError(f"preset {self.params.preset!r}")
             cfg = EncoderConfig(
                 self.params.width, self.params.height,
                 qp=self.params.effective_qp(),
-                gop_len=max(1, self.params.gop_len))
+                gop_len=max(1, self.params.gop_len), **knobs)
             if engine == "device":
                 from ..codec.h264.devenc import DeviceH264Encoder
                 self._enc = DeviceH264Encoder(cfg)
