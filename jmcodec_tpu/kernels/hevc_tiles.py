@@ -501,7 +501,14 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
         Z = Z.at[:, 0, 0].set(
             jnp.where(lane_has_top & hl, tl_z, ZIDX_NONE))
 
-        F = walk(F, Z, resid, tu, mode)
+        if base is not None:
+            # inter pictures: whole diagonals are often intra-free (P/B
+            # content) — skip the 340-candidate TU walk for those steps
+            F = jax.lax.cond(jnp.any(tu > 0),
+                             lambda f: walk(f, Z, resid, tu, mode),
+                             lambda f: f, F)
+        else:
+            F = walk(F, Z, resid, tu, mode)
         Yw = F[:, 1:1 + C, 1:1 + C]
 
         vm = (valid == 1)
