@@ -157,6 +157,48 @@ def _pred_tables(n: int):
 
 
 @functools.lru_cache(maxsize=8)
+def _pred_idx_tables(n: int):
+    """EXT/OFF are one-hot per row: collapse them to source-index tables
+    so per-mode selection happens OUTSIDE the serial wavefront (a few
+    int16 planes instead of a 35-way einsum per TU candidate).
+    ext_idx[m, s] in [0, 4n] or 4n+1 ("no source" -> contributes 0);
+    off_idx[m, y] in [0, 2n]."""
+    EXT, OFF, _, _ = _pred_tables(n)
+    L = 4 * n + 1
+    ext_idx = np.full((35, 3 * n + 2), L, np.int32)
+    off_idx = np.zeros((35, n), np.int32)
+    for m in range(35):
+        for srow in range(3 * n + 2):
+            nz = np.nonzero(EXT[m, srow])[0]
+            if len(nz):
+                ext_idx[m, srow] = nz[0]
+        for y in range(n):
+            nz = np.nonzero(OFF[m, y])[0]
+            if len(nz):
+                off_idx[m, y] = nz[0]
+    return ext_idx, off_idx
+
+
+def _presel_idx_planes(mode_cell, sizes):
+    """mode_cell [GH, GW] (4x4-cell mode map) -> {n: (ext_idx, off_idx)}
+    per-TU-slot index planes ([GH*4/n, GW*4/n, 3n+2] / [..., n] int32),
+    computed once per frame outside the scan (one-hot matmul, parallel)."""
+    out = {}
+    for log2 in sizes:
+        n = 1 << log2
+        n4 = n // 4
+        msl = mode_cell[::n4, ::n4]
+        oh = jax.nn.one_hot(msl, 35, dtype=jnp.float32)
+        ext_t, off_t = _pred_idx_tables(n)
+        ei = jnp.einsum("ghm,ms->ghs", oh,
+                        jnp.asarray(ext_t, np.float32)).astype(jnp.int32)
+        oi = jnp.einsum("ghm,my->ghy", oh,
+                        jnp.asarray(off_t, np.float32)).astype(jnp.int32)
+        out[n] = (ei, oi)
+    return out
+
+
+@functools.lru_cache(maxsize=8)
 def _win_sel(n: int):
     """Static one-hot [3n+2, (2n+1)(n+1)]: win[s, k] = ext[1 + s + k]."""
     S = 3 * n + 2
@@ -238,20 +280,32 @@ def _filter_refs(v, n, strong_smoothing: bool):
     return jnp.where(cond[..., None], strong, sm), cond
 
 
-def _predict(vf, mode, n: int, is_chroma: bool, oh=None):
+def _predict(vf, mode, n: int, is_chroma: bool, oh=None, ei=None, oi=None):
     """All 35 modes on substituted(+filtered) refs vf [l, 4n+1] with per-lane
     mode [l]. Returns pred [l, n, n] int32. vf must already be the correct
-    filter variant per lane (DC/10/26 never filter so vf==v for them)."""
+    filter variant per lane (DC/10/26 never filter so vf==v for them).
+    With ei/oi (preselected per-lane source indices from
+    _presel_idx_planes) the 35-way table selections are skipped — the
+    dominant cost on the serial wavefront path."""
     EXT, OFF, FRAC, ISHOR = _pred_tables(n)
+    L = 4 * n + 1
     if oh is None:
         oh = jax.nn.one_hot(mode, 35, dtype=jnp.float32)      # [l, 35]
-    extsel = jnp.einsum("lm,msr->lsr", oh, jnp.asarray(EXT))   # [l, 3n+2, L]
+    if ei is not None:
+        extsel = (ei[:, :, None] == jnp.arange(L)[None, None]
+                  ).astype(jnp.float32)                        # [l, 3n+2, L]
+    else:
+        extsel = jnp.einsum("lm,msr->lsr", oh, jnp.asarray(EXT))
     ext = jnp.einsum("lsr,lr->ls", extsel, vf.astype(jnp.float32))
     # windows of length n+1 starting at 1..2n+1, via one static one-hot
     # matmul (a python stack of 2n+1 slices costs 2n+1 sequential ops)
     win = (ext @ jnp.asarray(_win_sel(n))).reshape(
         -1, 2 * n + 1, n + 1)                                  # [l, 2n+1, n+1]
-    offsel = jnp.einsum("lm,myw->lyw", oh, jnp.asarray(OFF))   # [l, n, 2n+1]
+    if oi is not None:
+        offsel = (oi[:, :, None] == jnp.arange(2 * n + 1)[None, None]
+                  ).astype(jnp.float32)                        # [l, n, 2n+1]
+    else:
+        offsel = jnp.einsum("lm,myw->lyw", oh, jnp.asarray(OFF))
     seg = jnp.einsum("lyw,lwn->lyn", offsel, win).astype(jnp.int32)
     frac = jnp.einsum("lm,my->ly", oh,
                       jnp.asarray(FRAC, np.float32)).astype(jnp.int32)
@@ -329,6 +383,34 @@ def _plane_to_ctb_tiles(plane, ctb_h, ctb_w, C):
     return plane.reshape(ctb_h, C, ctb_w, C).transpose(0, 2, 1, 3)
 
 
+def _slotplane_to_ctb_tiles(plane, ctb_h, ctb_w, spc):
+    """[GH, GW, S] per-TU-slot plane (spc slots per CTB side) ->
+    [ctb_h, ctb_w, spc, spc, S] tiles."""
+    S = plane.shape[-1]
+    return plane.reshape(ctb_h, spc, ctb_w, spc, S).transpose(0, 2, 1, 3, 4)
+
+
+def _skewed_idx_tiles(mode_cell, ctb_h, ctb_w, C, max_tu, cys_j, cxs_j):
+    """Preselected per-size source-index tiles, skewed for the scan:
+    {n: (ei_t [steps, B, C/n, C/n, 3n+2], oi_t [..., n])}."""
+    T = min(C, max_tu)
+    sizes = []
+    n = T
+    while n >= 4:
+        sizes.append(n.bit_length() - 1)
+        n //= 2
+    planes = _presel_idx_planes(mode_cell, sizes)
+    out = {}
+    for n, (ei, oi) in planes.items():
+        spc = C // n
+        out[n] = (
+            _skew(_slotplane_to_ctb_tiles(ei, ctb_h, ctb_w, spc),
+                  cys_j, cxs_j),
+            _skew(_slotplane_to_ctb_tiles(oi, ctb_h, ctb_w, spc),
+                  cys_j, cxs_j))
+    return out
+
+
 def _skew(arr, cys, cxs):
     return arr[cys, cxs]
 
@@ -342,7 +424,8 @@ def _unskew_to_plane(tiles, cys, cxs, valid, ctb_h, ctb_w, C):
 
 
 def _tu_candidate(F, Z, resid, tu_t, mode_t, x0, y0, n: int,
-                  C: int, is_chroma: bool, strong: bool):
+                  C: int, is_chroma: bool, strong: bool,
+                  ei_t=None, oi_t=None):
     """Evaluate one TU candidate of size n at dynamic in-CTB position
     (x0, y0); write recon into the composite F where the tu map marks an
     n-sized TU there. F: [B, 1+C+PB, WF]; Z: [B, 1+C4+PB4, WZ] (cell zidx
@@ -379,7 +462,12 @@ def _tu_candidate(F, Z, resid, tu_t, mode_t, x0, y0, n: int,
         vf = jnp.where(filt[:, None], v121, vs)
     else:
         vf = vs
-    pred = _predict(vf, mode, n, is_chroma, oh=oh)
+    ei = oi = None
+    if ei_t is not None:
+        sx0, sy0 = x0 // n, y0 // n
+        ei = dyn(ei_t, (0, sy0, sx0, 0), (B, 1, 1, 3 * n + 2))[:, 0, 0]
+        oi = dyn(oi_t, (0, sy0, sx0, 0), (B, 1, 1, n))[:, 0, 0]
+    pred = _predict(vf, mode, n, is_chroma, oh=oh, ei=ei, oi=oi)
     rblk = dyn(resid, (0, y0, x0), (B, n, n))
     rec = jnp.clip(pred + rblk, 0, 255)
     active = dyn(tu_t, (0, cy0, cx0), (B, 1, 1))[:, 0, 0] == log2
@@ -403,14 +491,16 @@ def _make_walk(C: int, max_tu: int, is_chroma: bool, strong: bool,
     see bench history). Compile time pays for it once per geometry."""
     T = min(C, max_tu)
 
-    def walk(F, Z, resid, tu_t, mode_t):
+    def walk(F, Z, resid, tu_t, mode_t, idx=None):
         def level(sz):
             sub = None if sz == 4 else level(sz // 2)
             h = sz // 2
 
             def body_at(F, x0, y0):
+                ei_t, oi_t = idx[sz] if idx is not None else (None, None)
                 F = _tu_candidate(F, Z, resid, tu_t, mode_t, x0, y0,
-                                  sz, C, is_chroma, strong)
+                                  sz, C, is_chroma, strong,
+                                  ei_t=ei_t, oi_t=oi_t)
                 if sub is None:
                     return F
                 if sz <= unroll_below:
@@ -449,7 +539,7 @@ def _make_walk(C: int, max_tu: int, is_chroma: bool, strong: bool,
 
 def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
                 C: int, skew: int, max_tu: int, is_chroma: bool,
-                strong: bool, groups: int = 1, base_t=None):
+                strong: bool, groups: int = 1, base_t=None, idx_t=None):
     """resid_t [steps, B, C, C]; cell-grid tiles [steps, B, C/4, C/4];
     valid/has_left [steps, B]. Returns recon tiles [steps, B, C, C].
 
@@ -471,10 +561,12 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
     def body(carry, xs):
         Rpx, Rz, Cpx, Cz = carry
         if base_t is not None:
-            resid, zw, tu, mode, valid, has_left, base = xs
+            resid, zw, tu, mode, valid, has_left, base, idx = xs
         else:
-            resid, zw, tu, mode, valid, has_left = xs
+            resid, zw, tu, mode, valid, has_left, idx = xs
             base = None
+        if not idx:
+            idx = None
         roll1 = lambda x: jnp.roll(x, 1, axis=0)
         top_ext = jnp.concatenate(
             [roll1(Rpx[skew - 1 - j]) for j in range(e + 1)], axis=-1)
@@ -505,10 +597,10 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
             # inter pictures: whole diagonals are often intra-free (P/B
             # content) — skip the 340-candidate TU walk for those steps
             F = jax.lax.cond(jnp.any(tu > 0),
-                             lambda f: walk(f, Z, resid, tu, mode),
+                             lambda f: walk(f, Z, resid, tu, mode, idx),
                              lambda f: f, F)
         else:
-            F = walk(F, Z, resid, tu, mode)
+            F = walk(F, Z, resid, tu, mode, idx)
         Yw = F[:, 1:1 + C, 1:1 + C]
 
         vm = (valid == 1)
@@ -527,6 +619,7 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
     xs = (resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t)
     if base_t is not None:
         xs = xs + (base_t,)
+    xs = xs + (idx_t if idx_t is not None else {},)
     _, ys = jax.lax.scan(body, carry0, xs)
     return ys
 
@@ -742,9 +835,11 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     # ---- luma scan ----
     t = lambda p, n: _skew(_plane_to_ctb_tiles(p, ctb_h, ctb_w, n),
                            cys_j, cxs_j)
+    idx_y = _skewed_idx_tiles(mode_y, ctb_h, ctb_w, C, 32, cys_j, cxs_j)
     Yt = _intra_scan(t(resid_y, C), t(zidx_y, C // 4), t(tu_y, C // 4),
                      t(mode_y, C // 4), valid_j, hl_j,
-                     C, skew, 32, is_chroma=False, strong=strong)
+                     C, skew, 32, is_chroma=False, strong=strong,
+                     idx_t=idx_y)
     Y = _unskew_to_plane(Yt, cys_j, cxs_j, valid_j, ctb_h, ctb_w, C)
 
     # ---- chroma scan (cb+cr stacked on the lane axis) ----
@@ -756,8 +851,12 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     mc2 = cat2(t(mode_c, Cc // 4), t(mode_c, Cc // 4))
     v2 = cat2(valid_j, valid_j)
     h2 = cat2(hl_j, hl_j)
+    idx_c1 = _skewed_idx_tiles(mode_c, ctb_h, ctb_w, Cc, 16, cys_j, cxs_j)
+    idx_c = {n: (cat2(ei, ei), cat2(oi, oi))
+             for n, (ei, oi) in idx_c1.items()}
     Ct = _intra_scan(rc, zc2, tc2, mc2, v2, h2,
-                     Cc, skew, 16, is_chroma=True, strong=False, groups=2)
+                     Cc, skew, 16, is_chroma=True, strong=False, groups=2,
+                     idx_t=idx_c)
     U = _unskew_to_plane(Ct[:, :ctb_h], cys_j, cxs_j, valid_j,
                          ctb_h, ctb_w, Cc)
     V = _unskew_to_plane(Ct[:, ctb_h:], cys_j, cxs_j, valid_j,
@@ -837,9 +936,19 @@ def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
         return jnp.concatenate(list(tiles), axis=1)
 
     catF = lambda a: jnp.concatenate([a] * F, axis=1)
+
+    def tf_idx(mode_cells, C_, max_tu_):
+        per = [_skewed_idx_tiles(mode_cells[f], ctb_h, ctb_w, C_, max_tu_,
+                                 cys_j, cxs_j) for f in range(F)]
+        return {n: (jnp.concatenate([p[n][0] for p in per], axis=1),
+                    jnp.concatenate([p[n][1] for p in per], axis=1))
+                for n in per[0]}
+
+    idx_y = tf_idx(mode_y, C, 32)
     Yt = _intra_scan(tf(resid_y, C), tf(zidx_y, C // 4), tf(tu_y, C // 4),
                      tf(mode_y, C // 4), catF(valid_j), catF(hl_j),
-                     C, skew, 32, is_chroma=False, strong=strong, groups=F)
+                     C, skew, 32, is_chroma=False, strong=strong, groups=F,
+                     idx_t=idx_y)
     unsk = lambda t, n: _unskew_to_plane(t, cys_j, cxs_j, valid_j,
                                          ctb_h, ctb_w, n)
     Y = jnp.stack([unsk(Yt[:, f * ctb_h:(f + 1) * ctb_h], C)
@@ -852,10 +961,12 @@ def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     tcs = tf(tu_c, Cc // 4)
     mcs = tf(mode_c, Cc // 4)
     cat2 = lambda a: jnp.concatenate([a, a], axis=1)
+    idx_cf = tf_idx(mode_c, Cc, 16)
+    idx_c = {n: (cat2(ei), cat2(oi)) for n, (ei, oi) in idx_cf.items()}
     Ct = _intra_scan(rc, cat2(zcs), cat2(tcs), cat2(mcs),
                      cat2(catF(valid_j)), cat2(catF(hl_j)),
                      Cc, skew, 16, is_chroma=True, strong=False,
-                     groups=2 * F)
+                     groups=2 * F, idx_t=idx_c)
     U = jnp.stack([unsk(Ct[:, f * ctb_h:(f + 1) * ctb_h], Cc)
                    for f in range(F)])
     V = jnp.stack([unsk(Ct[:, (F + f) * ctb_h:(F + f + 1) * ctb_h], Cc)
@@ -1142,10 +1253,11 @@ def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     # ---- luma scan (intra TUs reconstruct over the inter base) ----
     t = lambda p, n: _skew(_plane_to_ctb_tiles(p, ctb_h, ctb_w, n),
                            cys_j, cxs_j)
+    idx_y = _skewed_idx_tiles(mode_y, ctb_h, ctb_w, C, 32, cys_j, cxs_j)
     Yt = _intra_scan(t(resid_y, C), t(zidx_y, C // 4), t(tu_y, C // 4),
                      t(mode_y, C // 4), valid_j, hl_j,
                      C, skew, 32, is_chroma=False, strong=strong,
-                     base_t=t(base_y, C))
+                     base_t=t(base_y, C), idx_t=idx_y)
     Y = _unskew_to_plane(Yt, cys_j, cxs_j, valid_j, ctb_h, ctb_w, C)
 
     # ---- chroma scan ----
@@ -1158,9 +1270,12 @@ def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     v2 = cat2(valid_j, valid_j)
     h2 = cat2(hl_j, hl_j)
     bc2 = cat2(t(base_cb, Cc), t(base_cr, Cc))
+    idx_c1 = _skewed_idx_tiles(mode_c, ctb_h, ctb_w, Cc, 16, cys_j, cxs_j)
+    idx_c = {n: (cat2(ei, ei), cat2(oi, oi))
+             for n, (ei, oi) in idx_c1.items()}
     Ct = _intra_scan(rc, zc2, tc2, mc2, v2, h2,
                      Cc, skew, 16, is_chroma=True, strong=False, groups=2,
-                     base_t=bc2)
+                     base_t=bc2, idx_t=idx_c)
     U = _unskew_to_plane(Ct[:, :ctb_h], cys_j, cxs_j, valid_j,
                          ctb_h, ctb_w, Cc)
     V = _unskew_to_plane(Ct[:, ctb_h:], cys_j, cxs_j, valid_j,
