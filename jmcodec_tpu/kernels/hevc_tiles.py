@@ -23,6 +23,7 @@ itself bit-exact vs libavcodec on x265 streams.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -439,10 +440,11 @@ def _tu_candidate(F, Z, resid, tu_t, mode_t, x0, y0, n: int,
         return jax.lax.dynamic_slice(a, start, sizes)
 
     z_org = dyn(Z, (0, 1 + cy0, 1 + cx0), (B, 1, 1))[:, 0, 0]
-    # raw reference samples in substitution-scan order
-    lcol = dyn(F, (0, y0 + 1, x0), (B, 2 * n, 1))[..., 0]
-    corner = dyn(F, (0, y0, x0), (B, 1, 1))[:, 0, 0]
-    trow = dyn(F, (0, y0, x0 + 1), (B, 1, 2 * n))[:, 0]
+    # raw reference samples in substitution-scan order (F may be stored
+    # int16 to halve the threaded-state bytes; compute stays int32)
+    lcol = dyn(F, (0, y0 + 1, x0), (B, 2 * n, 1))[..., 0].astype(jnp.int32)
+    corner = dyn(F, (0, y0, x0), (B, 1, 1))[:, 0, 0].astype(jnp.int32)
+    trow = dyn(F, (0, y0, x0 + 1), (B, 1, 2 * n))[:, 0].astype(jnp.int32)
     v = jnp.concatenate([lcol[:, ::-1], corner[:, None], trow], axis=-1)
     # availability: zidx of the covering recon event strictly earlier
     zl = dyn(Z, (0, 1 + cy0, cx0), (B, 2 * n4, 1))[..., 0]
@@ -472,7 +474,7 @@ def _tu_candidate(F, Z, resid, tu_t, mode_t, x0, y0, n: int,
     rec = jnp.clip(pred + rblk, 0, 255)
     active = dyn(tu_t, (0, cy0, cx0), (B, 1, 1))[:, 0, 0] == log2
     cur = dyn(F, (0, y0 + 1, x0 + 1), (B, n, n))
-    new = jnp.where(active[:, None, None], rec, cur)
+    new = jnp.where(active[:, None, None], rec.astype(F.dtype), cur)
     return jax.lax.dynamic_update_slice(F, new, (0, y0 + 1, x0 + 1))
 
 
@@ -537,6 +539,63 @@ def _make_walk(C: int, max_tu: int, is_chroma: bool, strong: bool,
     return walk
 
 
+def _zorder_candidates(C: int, max_tu: int):
+    """The z-scan candidate list [(n, x0, y0), ...] the unrolled walk
+    visits — the spec's TU quadtree order (every dependency precedes its
+    reader)."""
+    T = min(C, max_tu)
+    cands = []
+
+    def level(sz, x0, y0):
+        cands.append((sz, x0, y0))
+        if sz > 4:
+            h = sz // 2
+            for j in range(4):
+                level(h, x0 + (j & 1) * h, y0 + (j >> 1) * h)
+
+    nt = C // T
+    for i in range(nt * nt):
+        level(T, (i & 1) * T, (i >> 1) * T)
+    return cands
+
+
+def _make_walk_switch(C: int, max_tu: int, is_chroma: bool, strong: bool):
+    """fori_loop-over-candidates walk: one lax.switch whose branches each
+    evaluate one z-order candidate at STATIC offsets. The composite F is a
+    loop carry, which XLA buffer-assigns in place — the straight-line
+    unrolled walk instead materializes a fresh F per candidate (measured
+    ~205us/candidate at 1080p batch shapes, pure HBM copy). Same candidate
+    order and arithmetic as _make_walk, so bit-exactness is unchanged."""
+
+    def walk(F, Z, resid, tu_t, mode_t, idx=None):
+        def make_branch(n, x0, y0):
+            ei_t, oi_t = idx[n] if idx is not None else (None, None)
+
+            def br(Fc):
+                return _tu_candidate(Fc, Z, resid, tu_t, mode_t, x0, y0,
+                                     n, C, is_chroma, strong,
+                                     ei_t=ei_t, oi_t=oi_t)
+            return br
+
+        branches = [make_branch(*c) for c in _zorder_candidates(C, max_tu)]
+
+        def body(i, Fc):
+            return jax.lax.switch(i, branches, Fc)
+        return jax.lax.fori_loop(0, len(branches), body, F)
+    return walk
+
+
+def _walk_factory():
+    return (_make_walk_switch
+            if os.environ.get("JMX_HEVC_WALK", "unroll") == "switch"
+            else _make_walk)
+
+
+def _f_dtype():
+    return (jnp.int16 if os.environ.get("JMX_HEVC_F16", "0") == "1"
+            else jnp.int32)
+
+
 def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
                 C: int, skew: int, max_tu: int, is_chroma: bool,
                 strong: bool, groups: int = 1, base_t=None, idx_t=None):
@@ -556,7 +615,8 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
     # lane = cy within each stack
     nlane = B // groups
     lane_has_top = jnp.asarray(np.tile(np.arange(nlane) > 0, groups))
-    walk = _make_walk(C, max_tu, is_chroma, strong)
+    walk = _walk_factory()(C, max_tu, is_chroma, strong)
+    fdt = _f_dtype()
 
     def body(carry, xs):
         Rpx, Rz, Cpx, Cz = carry
@@ -576,14 +636,14 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
         tl_z = roll1(Rz[skew])[:, -1]
         hl = has_left == 1
 
-        F = jnp.zeros((B, 1 + C + PB, WF), jnp.int32)
+        F = jnp.zeros((B, 1 + C + PB, WF), fdt)
         if base is not None:
             # inter pictures: seed the tile interior with the MC+residual
             # reconstruction; intra TU recon events overwrite their areas
-            F = F.at[:, 1:1 + C, 1:1 + C].set(base)
-        F = F.at[:, 0, 1:].set(top_ext)
-        F = F.at[:, 0, 0].set(tl_px)
-        F = F.at[:, 1:1 + C, 0].set(Cpx)
+            F = F.at[:, 1:1 + C, 1:1 + C].set(base.astype(fdt))
+        F = F.at[:, 0, 1:].set(top_ext.astype(fdt))
+        F = F.at[:, 0, 0].set(tl_px.astype(fdt))
+        F = F.at[:, 1:1 + C, 0].set(Cpx.astype(fdt))
         Z = jnp.full((B, 1 + C4 + PB4, WZ), ZIDX_NONE, jnp.int32)
         Z = Z.at[:, 1:1 + C4, 1:1 + C4].set(zw)
         Z = Z.at[:, 0, 1:].set(
@@ -601,7 +661,7 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
                              lambda f: f, F)
         else:
             F = walk(F, Z, resid, tu, mode, idx)
-        Yw = F[:, 1:1 + C, 1:1 + C]
+        Yw = F[:, 1:1 + C, 1:1 + C].astype(jnp.int32)
 
         vm = (valid == 1)
         new_row = jnp.where(vm[:, None], Yw[:, C - 1, :], 0)
