@@ -369,12 +369,36 @@ class DecoderSession:
         del self._dev_dpb[max(1, fs.max_num_ref_frames):]
 
     def _dev_list0(self, fs):
-        """Default P reference list: descending PicNum (wrap-aware), the
-        same order the host DPB.list0 builds (8.2.4.2.1)."""
+        """P reference list: descending PicNum (wrap-aware, 8.2.4.2.1),
+        then ref_pic_list_modification (8.2.4.3.1, short-term) — x264's
+        weightp=2 relies on it for duplicate weighted references — and the
+        num_ref_idx_active_l0 trim."""
         dpb = getattr(self, "_dev_dpb", [])
         max_fn = 1 << fs.log2_max_frame_num
         order = sorted(dpb, key=lambda e: (fs.frame_num - e[0]) % max_fn)
-        return [planes for (_fn, planes) in order]
+        mods = getattr(fs, "ref_mods_l0", None)
+        if mods:
+            lst = list(order)
+            idx = 0
+            pred = fs.frame_num
+            for idc, val in mods:
+                if idc == 2:
+                    raise NotImplementedError("long-term ref modification")
+                nw = (pred - (val + 1)) if idc == 0 else (pred + (val + 1))
+                nw %= max_fn
+                pred = nw
+                pic = next((e for e in dpb if e[0] % max_fn == nw), None)
+                if pic is None:
+                    raise ValueError("ref modification: picture not in DPB")
+                lst.insert(idx, pic)
+                idx += 1
+                for i in range(idx, len(lst)):
+                    if lst[i] is pic:
+                        del lst[i]
+                        break
+            order = lst
+        n = getattr(fs, "num_ref_l0", 0) or len(order)
+        return [planes for (_fn, planes) in order[:n]]
 
     def _host_refdec(self):
         if self._refdec is None:

@@ -63,6 +63,8 @@ class FastH264Parser:
         parser = native.NativeSliceParser(mbw, mbh)
         hdr0 = None
         has_p = False
+        wp0 = None
+        rm0 = None
         for slice_id, u in enumerate(units):
             hdr, r = parse_slice_header(u.rbsp, sps, pps, u.nal_unit_type,
                                         u.nal_ref_idc)
@@ -72,10 +74,8 @@ class FastH264Parser:
                 raise NotImplementedError("CABAC")
             if hdr.slice_type == SLICE_I and pps.transform_8x8_mode_flag:
                 raise NotImplementedError("8x8 transform (native parser)")
-            if hdr.ref_mods_l0 or hdr.mmco_ops or \
-                    hdr.adaptive_ref_pic_marking_mode_flag:
-                raise NotImplementedError(
-                    "ref list modification / MMCO (host path)")
+            if hdr.mmco_ops or hdr.adaptive_ref_pic_marking_mode_flag:
+                raise NotImplementedError("MMCO (host path)")
             if hdr0 is None:
                 hdr0 = hdr
             elif len(units) > 1:
@@ -92,6 +92,21 @@ class FastH264Parser:
                         "per-slice deblock params differ (or idc==2)")
             if hdr.slice_type == SLICE_P:
                 has_p = True
+                rcur = (tuple(hdr.ref_mods_l0), hdr.num_ref_idx_active_l0)
+                if rm0 is None:
+                    rm0 = rcur
+                elif rm0 != rcur:
+                    raise NotImplementedError(
+                        "per-slice ref list modifications differ (host path)")
+                if hdr.weights_l0 is not None:
+                    wcur = (hdr.luma_log2_weight_denom,
+                            hdr.chroma_log2_weight_denom,
+                            tuple(hdr.weights_l0))
+                    if wp0 is None:
+                        wp0 = wcur
+                    elif wp0 != wcur:
+                        raise NotImplementedError(
+                            "per-slice pred_weight_tables differ (host path)")
                 parser.parse_p_slice(
                     fs, u.rbsp, r.pos, hdr.first_mb_in_slice, hdr.qp(pps),
                     slice_id, hdr.num_ref_idx_active_l0,
@@ -102,6 +117,12 @@ class FastH264Parser:
         if has_p:
             fs.mv = parser.mv.copy()
             fs.ref = parser.ref.copy()
+            if wp0 is not None:
+                fs.wp = np.asarray(wp0[2], np.int32)
+                fs.wp_logwd = (wp0[0], wp0[1])
+            if rm0 is not None:
+                fs.ref_mods_l0 = list(rm0[0])
+                fs.num_ref_l0 = rm0[1]
         fs.fill_availability(parser.slice_map)
         fs.frame_num = hdr0.frame_num
         fs.is_idr = hdr0.is_idr

@@ -586,6 +586,7 @@ class H264ReferenceDecoder:
         qp = pps.pic_init_qp + hdr.slice_qp_delta
         addr = hdr.first_mb_in_slice
         wbp = pps.weighted_bipred_idc
+        wp = _hdr_weights(hdr)
         while True:
             skip_run = r.ue()
             for _ in range(skip_run):
@@ -595,7 +596,7 @@ class H264ReferenceDecoder:
                 s = INTER.apply_direct(g, m, my, mx, slice_idx, qp,
                                        direct_ctx, True)
                 reconstruct_b_mb(Y, U, V, g, my, mx, slice_idx, s, l0, l1,
-                                 pps, cur_poc, wbp)
+                                 pps, cur_poc, wbp, wp=wp)
                 if fs is not None:
                     fill_mb_symbols(fs, my, mx, s, motion=m)
                 addr += 1
@@ -612,7 +613,7 @@ class H264ReferenceDecoder:
             qp = s.qp
             if s.mb_class == INTER.MB_B:
                 reconstruct_b_mb(Y, U, V, g, my, mx, slice_idx, s, l0, l1,
-                                 pps, cur_poc, wbp)
+                                 pps, cur_poc, wbp, wp=wp)
             else:
                 reconstruct_intra_mb(Y, U, V, g, my, mx, slice_idx, s, pps)
             if fs is not None:
@@ -641,6 +642,7 @@ class H264ReferenceDecoder:
         if is_b:
             l0, l1, direct_ctx = bctx
             wbp = pps.weighted_bipred_idc
+        wp = _hdr_weights(hdr)
         while True:
             if addr >= n_mbs:
                 raise ValueError("MB address out of range")
@@ -664,10 +666,10 @@ class H264ReferenceDecoder:
                 qp = s.qp
             if s.mb_class == INTER.MB_B:
                 reconstruct_b_mb(Y, U, V, g, my, mx, slice_idx, s, l0, l1,
-                                 pps, cur_poc, wbp)
+                                 pps, cur_poc, wbp, wp=wp)
             elif s.mb_class == INTER.MB_P:
                 reconstruct_inter_mb(Y, U, V, g, my, mx, slice_idx, s, refs,
-                                     pps)
+                                     pps, wp=wp)
             else:
                 reconstruct_intra_mb(Y, U, V, g, my, mx, slice_idx, s, pps)
             if fs is not None:
@@ -688,6 +690,7 @@ class H264ReferenceDecoder:
         qp = pps.pic_init_qp + hdr.slice_qp_delta
         addr = hdr.first_mb_in_slice
         num_ref = hdr.num_ref_idx_active_l0
+        wp = _hdr_weights(hdr)
         while True:
             skip_run = r.ue()
             for _ in range(skip_run):
@@ -696,7 +699,7 @@ class H264ReferenceDecoder:
                 my, mx = divmod(addr, mbw)
                 s = INTER.apply_skip(g, m, my, mx, slice_idx, qp)
                 reconstruct_inter_mb(Y, U, V, g, my, mx, slice_idx, s, refs,
-                                     pps)
+                                     pps, wp=wp)
                 if fs is not None:
                     fill_mb_symbols(fs, my, mx, s, motion=m)
                 addr += 1
@@ -710,7 +713,7 @@ class H264ReferenceDecoder:
             qp = s.qp
             if s.mb_class == INTER.MB_P:
                 reconstruct_inter_mb(Y, U, V, g, my, mx, slice_idx, s, refs,
-                                     pps)
+                                     pps, wp=wp)
             else:
                 reconstruct_intra_mb(Y, U, V, g, my, mx, slice_idx, s, pps)
             if fs is not None:
@@ -795,8 +798,10 @@ def fill_mb_symbols(fs: FrameSymbols, my: int, mx: int, s: MB.MBSymbols,
 
 
 def reconstruct_inter_mb(Y, U, V, g: MB.MBGrids, my: int, mx: int,
-                         cur_slice: int, s, refs, pps: PPS) -> None:
-    """Reconstruct one P macroblock: MC prediction + residual."""
+                         cur_slice: int, s, refs, pps: PPS,
+                         wp=None) -> None:
+    """Reconstruct one P macroblock: MC prediction + residual. wp is the
+    _hdr_weights tuple when the slice uses explicit weighted prediction."""
     x0, y0 = mx * 16, my * 16
     predY = np.zeros((16, 16), np.int32)
     predU = np.zeros((8, 8), np.int32)
@@ -810,13 +815,19 @@ def reconstruct_inter_mb(Y, U, V, g: MB.MBGrids, my: int, mx: int,
         h = part.h4 * 4
         blk = MC.mc_luma_block(pY, lx, ly, int(part.mv[0]), int(part.mv[1]),
                                w, h)
-        predY[ly - y0:ly - y0 + h, lx - x0:lx - x0 + w] = blk
         cx, cy = part.bx * 2, part.by * 2
         cw, ch = part.w4 * 2, part.h4 * 2
         cu = MC.mc_chroma_block(pU, cx, cy, int(part.mv[0]), int(part.mv[1]),
                                 cw, ch)
         cv = MC.mc_chroma_block(pV, cx, cy, int(part.mv[0]), int(part.mv[1]),
                                 cw, ch)
+        if wp is not None:
+            ld, cd, wl0, _ = wp
+            wy, oy, wcb, ocb, wcr, ocr = wl0[part.ref_idx]
+            blk = _weight_block(blk, wy, oy, ld)
+            cu = _weight_block(cu, wcb, ocb, cd)
+            cv = _weight_block(cv, wcr, ocr, cd)
+        predY[ly - y0:ly - y0 + h, lx - x0:lx - x0 + w] = blk
         predU[cy - my * 8:cy - my * 8 + ch, cx - mx * 8:cx - mx * 8 + cw] = cu
         predV[cy - my * 8:cy - my * 8 + ch, cx - mx * 8:cx - mx * 8 + cw] = cv
 
@@ -873,6 +884,31 @@ def implicit_weights(cur_poc: int, poc0: int, poc1: int):
     return 64 - w1, w1
 
 
+def _weight_block(blk, w: int, o: int, logwd: int):
+    """Explicit uni-directional weighted sample (8.4.2.3.2)."""
+    if logwd >= 1:
+        v = ((blk * w + (1 << (logwd - 1))) >> logwd) + o
+    else:
+        v = blk * w + o
+    return np.clip(v, 0, 255)
+
+
+def _weight_bi(b0, b1, w0: int, o0: int, w1: int, o1: int, logwd: int):
+    """Explicit bi-directional weighted sample (8.4.2.3.2)."""
+    v = ((b0 * w0 + b1 * w1 + (1 << logwd)) >> (logwd + 1)) \
+        + ((o0 + o1 + 1) >> 1)
+    return np.clip(v, 0, 255)
+
+
+def _hdr_weights(hdr):
+    """(ld, cd, wl0, wl1) when the slice carries an explicit
+    pred_weight_table, else None."""
+    if hdr is None or hdr.weights_l0 is None:
+        return None
+    return (hdr.luma_log2_weight_denom, hdr.chroma_log2_weight_denom,
+            hdr.weights_l0, hdr.weights_l1)
+
+
 def _mc_part(part, refpic, use_l1: bool):
     """Motion-compensate one partition from one reference picture; returns
     (Yblk, Ublk, Vblk)."""
@@ -889,9 +925,11 @@ def _mc_part(part, refpic, use_l1: bool):
 
 def reconstruct_b_mb(Y, U, V, g: MB.MBGrids, my: int, mx: int,
                      cur_slice: int, s, list0, list1, pps: PPS,
-                     cur_poc: int, weighted_bipred_idc: int) -> None:
+                     cur_poc: int, weighted_bipred_idc: int,
+                     wp=None) -> None:
     """Reconstruct one B macroblock: per-partition uni/bi prediction (with
-    implicit weighting when configured) + shared residual path."""
+    implicit or explicit weighting when configured) + shared residual
+    path. wp is the _hdr_weights tuple for weighted_bipred_idc == 1."""
     x0, y0 = mx * 16, my * 16
     predY = np.zeros((16, 16), np.int32)
     predU = np.zeros((8, 8), np.int32)
@@ -910,12 +948,24 @@ def reconstruct_b_mb(Y, U, V, g: MB.MBGrids, my: int, mx: int,
                 yb = np.clip((y0b * w0 + y1b * w1 + 32) >> 6, 0, 255)
                 ub = np.clip((u0b * w0 + u1b * w1 + 32) >> 6, 0, 255)
                 vb = np.clip((v0b * w0 + v1b * w1 + 32) >> 6, 0, 255)
-            elif weighted_bipred_idc == 0:
+            elif weighted_bipred_idc == 1 and wp is not None:
+                ld, cd, wl0, wl1 = wp
+                e0 = wl0[part.ref_idx]
+                e1 = wl1[part.ref_idx1]
+                yb = _weight_bi(y0b, y1b, e0[0], e0[1], e1[0], e1[1], ld)
+                ub = _weight_bi(u0b, u1b, e0[2], e0[3], e1[2], e1[3], cd)
+                vb = _weight_bi(v0b, v1b, e0[4], e0[5], e1[4], e1[5], cd)
+            else:
                 yb = (y0b + y1b + 1) >> 1
                 ub = (u0b + u1b + 1) >> 1
                 vb = (v0b + v1b + 1) >> 1
-            else:
-                raise NotImplementedError("explicit weighted bipred")
+        elif weighted_bipred_idc == 1 and wp is not None:
+            ld, cd, wl0, wl1 = wp
+            e = wl0[part.ref_idx] if use0 else wl1[part.ref_idx1]
+            pb, cb_, cr_ = (y0b, u0b, v0b) if use0 else (y1b, u1b, v1b)
+            yb = _weight_block(pb, e[0], e[1], ld)
+            ub = _weight_block(cb_, e[2], e[3], cd)
+            vb = _weight_block(cr_, e[4], e[5], cd)
         elif use0:
             yb, ub, vb = y0b, u0b, v0b
         else:

@@ -46,6 +46,12 @@ class SliceHeader:
     ref_mods_l1: List[Tuple[int, int]] = field(default_factory=list)
     # MMCO ops: (op, val1, val2)
     mmco_ops: List[Tuple[int, int, int]] = field(default_factory=list)
+    # explicit weighted prediction (pred_weight_table, 7.3.3.2); None when
+    # the table is absent. weights_l*[i] = (wY, oY, wCb, oCb, wCr, oCr).
+    luma_log2_weight_denom: int = 0
+    chroma_log2_weight_denom: int = 0
+    weights_l0: Optional[List[Tuple[int, int, int, int, int, int]]] = None
+    weights_l1: Optional[List[Tuple[int, int, int, int, int, int]]] = None
     # derived / context
     is_idr: bool = False
     nal_ref_idc: int = 1
@@ -56,6 +62,39 @@ class SliceHeader:
 
     def qp(self, pps: PPS) -> int:
         return pps.pic_init_qp + self.slice_qp_delta
+
+
+def _parse_weight_list(r: BitReader, n: int, ld: int, cd: int):
+    """One list's pred_weight_table entries (7.3.3.2)."""
+    out = []
+    for _ in range(n):
+        wy, oy = 1 << ld, 0
+        if r.flag():                       # luma_weight_lX_flag
+            wy, oy = r.se(), r.se()
+        wcb = wcr = 1 << cd
+        ocb = ocr = 0
+        if r.flag():                       # chroma_weight_lX_flag
+            wcb, ocb = r.se(), r.se()
+            wcr, ocr = r.se(), r.se()
+        out.append((wy, oy, wcb, ocb, wcr, ocr))
+    return out
+
+
+def _write_weight_list(w: BitWriter, entries, ld: int, cd: int) -> None:
+    for (wy, oy, wcb, ocb, wcr, ocr) in entries:
+        explicit_y = not (wy == (1 << ld) and oy == 0)
+        w.flag(explicit_y)
+        if explicit_y:
+            w.se(wy)
+            w.se(oy)
+        explicit_c = not (wcb == (1 << cd) and ocb == 0
+                          and wcr == (1 << cd) and ocr == 0)
+        w.flag(explicit_c)
+        if explicit_c:
+            w.se(wcb)
+            w.se(ocb)
+            w.se(wcr)
+            w.se(ocr)
 
 
 def _parse_ref_mods(r: BitReader):
@@ -117,7 +156,20 @@ def parse_slice_header(rbsp: bytes, sps: SPS, pps: PPS, nal_unit_type: int,
             h.ref_mods_l1 = _parse_ref_mods(r)
     if (pps.weighted_pred_flag and h.slice_type == SLICE_P) or (
             pps.weighted_bipred_idc == 1 and h.slice_type == SLICE_B):
-        raise NotImplementedError("explicit weighted prediction")
+        # pred_weight_table (7.3.3.2) — the reference's driver parser
+        # handles this for every conformant stream (nv_dec/nv_dec.cpp:394);
+        # x264 enables weightp by default so fades depend on it
+        h.luma_log2_weight_denom = r.ue()
+        h.chroma_log2_weight_denom = r.ue()   # 4:2:0 only in scope
+        if h.luma_log2_weight_denom > 7 or h.chroma_log2_weight_denom > 7:
+            raise ValueError("log2_weight_denom out of range")
+        h.weights_l0 = _parse_weight_list(
+            r, h.num_ref_idx_active_l0, h.luma_log2_weight_denom,
+            h.chroma_log2_weight_denom)
+        if h.slice_type == SLICE_B:
+            h.weights_l1 = _parse_weight_list(
+                r, h.num_ref_idx_active_l1, h.luma_log2_weight_denom,
+                h.chroma_log2_weight_denom)
     if nal_ref_idc != 0:
         # dec_ref_pic_marking
         if h.is_idr:
@@ -179,6 +231,18 @@ def write_slice_header(h: SliceHeader, sps: SPS, pps: PPS) -> BitWriter:
         w.flag(0)  # ref_pic_list_modification_flag_l0
         if h.slice_type == SLICE_B:
             w.flag(0)  # ref_pic_list_modification_flag_l1
+    if (pps.weighted_pred_flag and h.slice_type == SLICE_P) or (
+            pps.weighted_bipred_idc == 1 and h.slice_type == SLICE_B):
+        ld, cd = h.luma_log2_weight_denom, h.chroma_log2_weight_denom
+        w.ue(ld)
+        w.ue(cd)
+        wl0 = h.weights_l0 or [(1 << ld, 0, 1 << cd, 0, 1 << cd, 0)
+                               ] * h.num_ref_idx_active_l0
+        _write_weight_list(w, wl0, ld, cd)
+        if h.slice_type == SLICE_B:
+            wl1 = h.weights_l1 or [(1 << ld, 0, 1 << cd, 0, 1 << cd, 0)
+                                   ] * h.num_ref_idx_active_l1
+            _write_weight_list(w, wl1, ld, cd)
     if h.nal_ref_idc != 0:
         if h.is_idr:
             w.flag(h.no_output_of_prior_pics_flag)

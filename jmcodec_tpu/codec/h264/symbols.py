@@ -56,6 +56,15 @@ class FrameSymbols:
     # inter motion planes (None for all-intra frames)
     mv: np.ndarray = None            # [mbh*4, mbw*4, 2] int32 quarter-pel
     ref: np.ndarray = None           # [mbh*4, mbw*4] int32; -1 = intra
+    # explicit weighted prediction (pred_weight_table): per-list-0-index
+    # LUT [R, 6] int32 (wY, oY, wCb, oCb, wCr, oCr), or None when absent
+    wp: np.ndarray = None
+    wp_logwd: tuple = (0, 0)         # (luma, chroma) log2 weight denom
+    # ref_pic_list_modification ops for list 0 ((idc, value) pairs) and the
+    # slice's num_ref_idx_active_l0; the session applies 8.2.4.3.1 when
+    # building the device reference stack
+    ref_mods_l0: list = None
+    num_ref_l0: int = 0
     # picture identity (for DPB management by the caller)
     frame_num: int = 0
     is_idr: bool = False

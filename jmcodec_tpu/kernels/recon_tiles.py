@@ -762,23 +762,26 @@ def decode_frame_inter(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
                        chroma_dc, avail_left, avail_top, avail_topright,
                        alpha_off, beta_off, chroma_qp_off,
                        second_chroma_qp_off, mv, ref_idx, ref_y, ref_u, ref_v,
-                       deblock: bool = True):
+                       deblock: bool = True, wp=None, wp_logwd=None):
     """Device decode of a P frame: batched MC (wavefront-free) + intra
     wavefront for intra MBs + bS-driven deblock. ref_*: [n_refs, ...] padded
-    reference planes (prep_ref_planes), list0 order."""
+    reference planes (prep_ref_planes), list0 order. wp: explicit
+    pred_weight_table LUT [R, 6] + wp_logwd [2] (8.4.2.3.2), or None."""
     return _decode_core(mbh, mbw, mb_class, qp, i4_modes, i16_mode,
                         chroma_mode, luma_coeffs, luma_dc, chroma_coeffs,
                         chroma_dc, avail_left, avail_top, avail_topright,
                         alpha_off, beta_off, chroma_qp_off,
                         second_chroma_qp_off, deblock,
-                        mv, ref_idx, ref_y, ref_u, ref_v)
+                        mv, ref_idx, ref_y, ref_u, ref_v,
+                        wp=wp, wp_logwd=wp_logwd)
 
 
 def _decode_core(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
                  chroma_mode, luma_coeffs, luma_dc, chroma_coeffs, chroma_dc,
                  avail_left, avail_top, avail_topright,
                  alpha_off, beta_off, chroma_qp_off, second_chroma_qp_off,
-                 deblock, mv, ref_idx, ref_y, ref_u, ref_v):
+                 deblock, mv, ref_idx, ref_y, ref_u, ref_v,
+                 wp=None, wp_logwd=None):
     (mb_class, qp, i4_modes, i16_mode, chroma_mode, luma_coeffs, luma_dc,
      chroma_coeffs, chroma_dc, avail_left, avail_top, avail_topright) = [
         a.astype(jnp.int32) if a.dtype != jnp.int32 else a
@@ -803,6 +806,24 @@ def _decode_core(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
         mc_y = _mc_luma_batched(ref_y.astype(jnp.int32), mv, ref_idx, mbh, mbw)
         mc_u = _mc_chroma_batched(ref_u.astype(jnp.int32), mv, ref_idx, mbh, mbw)
         mc_v = _mc_chroma_batched(ref_v.astype(jnp.int32), mv, ref_idx, mbh, mbw)
+        if wp is not None:
+            # explicit weighted prediction (8.4.2.3.2): clipped weighted
+            # sample per cell, LUT-indexed by the cell's list-0 ref index
+            wpj = wp.astype(jnp.int32)
+            rw = jnp.clip(ref_idx, 0, wpj.shape[0] - 1)
+
+            def w_apply(mc, wi, oi, ld):
+                w = wpj[rw, wi][..., None, None]
+                o = wpj[rw, oi][..., None, None]
+                rnd = jnp.where(ld >= 1, 1 << jnp.maximum(ld - 1, 0), 0)
+                return jnp.clip(((mc * w + rnd) >> jnp.maximum(ld, 0)) + o,
+                                0, 255)
+
+            ldy = wp_logwd[0].astype(jnp.int32)
+            ldc = wp_logwd[1].astype(jnp.int32)
+            mc_y = w_apply(mc_y, 0, 1, ldy)
+            mc_u = w_apply(mc_u, 2, 3, ldc)
+            mc_v = w_apply(mc_v, 4, 5, ldc)
         rec_y = jnp.clip(mc_y + resid_y, 0, 255)
         # chroma residual blocks are on the [mbh*2, mbw*2] 4x4 grid; MC is on
         # the [mbh*4, mbw*4] 2x2 grid -> assemble both as planes and add
@@ -925,7 +946,10 @@ def decode_frame_symbols_inter(fs, refs, deblock=None):
         jnp.int32(fs.alpha_off), jnp.int32(fs.beta_off),
         jnp.int32(fs.chroma_qp_off), jnp.int32(fs.second_chroma_qp_off),
         jnp.asarray(fs.mv), jnp.asarray(fs.ref),
-        ref_y, ref_u, ref_v, deblock=deblock)
+        ref_y, ref_u, ref_v, deblock=deblock,
+        wp=(None if fs.wp is None else jnp.asarray(fs.wp)),
+        wp_logwd=(None if fs.wp is None
+                  else jnp.asarray(fs.wp_logwd, jnp.int32)))
     return out
 
 

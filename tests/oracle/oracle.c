@@ -140,7 +140,7 @@ static int do_encode(int argc, char **argv) {
          * `extra` can override any of them (cabac=1, 8x8dct=1, bframes=N...) */
         snprintf(params, sizeof params,
                  "qp=%d:cabac=0:8x8dct=0:threads=1:scenecut=0:keyint=%d:"
-                 "min-keyint=%d:bframes=0:weightp=0%s%s", qp, gop, gop,
+                 "min-keyint=%d:bframes=0%s%s", qp, gop, gop,
                  extra[0] ? ":" : "", extra);
         av_opt_set(ctx->priv_data, "x264-params", params, 0);
         av_opt_set(ctx->priv_data, "profile", profile, 0);
@@ -149,7 +149,7 @@ static int do_encode(int argc, char **argv) {
         /* deterministic closed-GOP defaults; later keys in x265-params win,
          * so `extra` can override any of them (bframes=N, weightp=1, ...) */
         snprintf(params, sizeof params,
-                 "qp=%d:keyint=%d:min-keyint=%d:bframes=0:weightp=0:"
+                 "qp=%d:keyint=%d:min-keyint=%d:bframes=0:"
                  "open-gop=0:scenecut=0%s%s", qp, gop, gop,
                  extra[0] ? ":" : "", extra);
         av_opt_set(ctx->priv_data, "x265-params", params, 0);
