@@ -586,9 +586,17 @@ def _make_walk_switch(C: int, max_tu: int, is_chroma: bool, strong: bool):
 
 
 def _walk_factory():
-    return (_make_walk_switch
-            if os.environ.get("JMX_HEVC_WALK", "unroll") == "switch"
-            else _make_walk)
+    w = os.environ.get("JMX_HEVC_WALK", "unroll")
+    if w == "pallas":
+        from .hevc_walk_pallas import make_pallas_walk
+        return make_pallas_walk
+    return _make_walk_switch if w == "switch" else _make_walk
+
+
+def _use_pallas_walk() -> bool:
+    """True when the Pallas walk is selected: the preselected index planes
+    are not needed (mode tables are static kernel constants)."""
+    return os.environ.get("JMX_HEVC_WALK", "unroll") == "pallas"
 
 
 def _f_dtype():
@@ -895,7 +903,8 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     # ---- luma scan ----
     t = lambda p, n: _skew(_plane_to_ctb_tiles(p, ctb_h, ctb_w, n),
                            cys_j, cxs_j)
-    idx_y = _skewed_idx_tiles(mode_y, ctb_h, ctb_w, C, 32, cys_j, cxs_j)
+    idx_y = (None if _use_pallas_walk() else
+             _skewed_idx_tiles(mode_y, ctb_h, ctb_w, C, 32, cys_j, cxs_j))
     Yt = _intra_scan(t(resid_y, C), t(zidx_y, C // 4), t(tu_y, C // 4),
                      t(mode_y, C // 4), valid_j, hl_j,
                      C, skew, 32, is_chroma=False, strong=strong,
@@ -911,9 +920,13 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     mc2 = cat2(t(mode_c, Cc // 4), t(mode_c, Cc // 4))
     v2 = cat2(valid_j, valid_j)
     h2 = cat2(hl_j, hl_j)
-    idx_c1 = _skewed_idx_tiles(mode_c, ctb_h, ctb_w, Cc, 16, cys_j, cxs_j)
-    idx_c = {n: (cat2(ei, ei), cat2(oi, oi))
-             for n, (ei, oi) in idx_c1.items()}
+    if _use_pallas_walk():
+        idx_c = None
+    else:
+        idx_c1 = _skewed_idx_tiles(mode_c, ctb_h, ctb_w, Cc, 16,
+                                   cys_j, cxs_j)
+        idx_c = {n: (cat2(ei, ei), cat2(oi, oi))
+                 for n, (ei, oi) in idx_c1.items()}
     Ct = _intra_scan(rc, zc2, tc2, mc2, v2, h2,
                      Cc, skew, 16, is_chroma=True, strong=False, groups=2,
                      idx_t=idx_c)
@@ -998,6 +1011,8 @@ def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     catF = lambda a: jnp.concatenate([a] * F, axis=1)
 
     def tf_idx(mode_cells, C_, max_tu_):
+        if _use_pallas_walk():
+            return None
         per = [_skewed_idx_tiles(mode_cells[f], ctb_h, ctb_w, C_, max_tu_,
                                  cys_j, cxs_j) for f in range(F)]
         return {n: (jnp.concatenate([p[n][0] for p in per], axis=1),
@@ -1022,7 +1037,8 @@ def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     mcs = tf(mode_c, Cc // 4)
     cat2 = lambda a: jnp.concatenate([a, a], axis=1)
     idx_cf = tf_idx(mode_c, Cc, 16)
-    idx_c = {n: (cat2(ei), cat2(oi)) for n, (ei, oi) in idx_cf.items()}
+    idx_c = (None if idx_cf is None else
+             {n: (cat2(ei), cat2(oi)) for n, (ei, oi) in idx_cf.items()})
     Ct = _intra_scan(rc, cat2(zcs), cat2(tcs), cat2(mcs),
                      cat2(catF(valid_j)), cat2(catF(hl_j)),
                      Cc, skew, 16, is_chroma=True, strong=False,
@@ -1313,7 +1329,8 @@ def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     # ---- luma scan (intra TUs reconstruct over the inter base) ----
     t = lambda p, n: _skew(_plane_to_ctb_tiles(p, ctb_h, ctb_w, n),
                            cys_j, cxs_j)
-    idx_y = _skewed_idx_tiles(mode_y, ctb_h, ctb_w, C, 32, cys_j, cxs_j)
+    idx_y = (None if _use_pallas_walk() else
+             _skewed_idx_tiles(mode_y, ctb_h, ctb_w, C, 32, cys_j, cxs_j))
     Yt = _intra_scan(t(resid_y, C), t(zidx_y, C // 4), t(tu_y, C // 4),
                      t(mode_y, C // 4), valid_j, hl_j,
                      C, skew, 32, is_chroma=False, strong=strong,
@@ -1330,9 +1347,13 @@ def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     v2 = cat2(valid_j, valid_j)
     h2 = cat2(hl_j, hl_j)
     bc2 = cat2(t(base_cb, Cc), t(base_cr, Cc))
-    idx_c1 = _skewed_idx_tiles(mode_c, ctb_h, ctb_w, Cc, 16, cys_j, cxs_j)
-    idx_c = {n: (cat2(ei, ei), cat2(oi, oi))
-             for n, (ei, oi) in idx_c1.items()}
+    if _use_pallas_walk():
+        idx_c = None
+    else:
+        idx_c1 = _skewed_idx_tiles(mode_c, ctb_h, ctb_w, Cc, 16,
+                                   cys_j, cxs_j)
+        idx_c = {n: (cat2(ei, ei), cat2(oi, oi))
+                 for n, (ei, oi) in idx_c1.items()}
     Ct = _intra_scan(rc, zc2, tc2, mc2, v2, h2,
                      Cc, skew, 16, is_chroma=True, strong=False, groups=2,
                      base_t=bc2, idx_t=idx_c)

@@ -19,29 +19,57 @@ def _stream(n=3, W=48, H=48):
     return s, recons
 
 
-def test_truncated_stream_raises_cleanly():
-    s, _ = _stream(1)
-    for cut in (len(s) // 2, len(s) - 3, 30):
-        dec = H264ReferenceDecoder()
-        try:
-            dec.decode_annexb(s[:cut])
-        except (ValueError, EOFError, NotImplementedError, KeyError):
-            pass  # clean parse error is acceptable
+def test_truncated_stream_contained():
+    """Truncation anywhere must leave the session emitting exactly the
+    complete leading pictures, bit-exact, and dropping the broken tail —
+    not just "some exception was raised"."""
+    s, recons = _stream(3)
+    gops = split_gops(s)
+    cases = [
+        (gops[1][0] + 24, 1),      # cut inside picture 2 -> only pic 1 good
+        (gops[2][0] + 24, 2),      # cut inside picture 3 -> pics 1-2 good
+        (30, 0),                   # cut inside the first slice header
+    ]
+    for cut, n_good in cases:
+        dec = DecoderSession()
+        dec.input_data(s[:cut])
+        dec.set_eof()
+        got = []
+        while (fr := dec.get_frame()) is not None:
+            got.append(fr)
+        assert len(got) == n_good, f"cut={cut}: {len(got)} != {n_good}"
+        for i, fr in enumerate(got):
+            np.testing.assert_array_equal(fr[0], recons[i][0])
 
 
 def test_bitflip_corruption_contained():
+    """Single bit flips inside picture 2's payload: the host decoder must
+    either raise a *clean parse error* (never hang, never a foreign
+    exception type) or produce full-shape frames; the streaming session
+    must always still deliver picture 1 bit-exactly."""
     rng = np.random.default_rng(0)
-    s, _ = _stream(2)
+    s, recons = _stream(2)
+    gops = split_gops(s)
+    H, W = recons[0][0].shape
     for _ in range(20):
         b = bytearray(s)
-        pos = int(rng.integers(40, len(b)))  # avoid headers
+        pos = int(rng.integers(gops[1][0] + 24, len(b)))
         b[pos] ^= 1 << int(rng.integers(0, 8))
         dec = H264ReferenceDecoder()
         try:
-            dec.decode_annexb(bytes(b))
+            frames = dec.decode_annexb(bytes(b)) + dec.flush()
         except (ValueError, EOFError, NotImplementedError, KeyError,
                 IndexError):
-            pass  # must not hang or segfault; exceptions are fine
+            frames = None          # clean parse error: allowed
+        if frames is not None:
+            for fr in frames:      # decoded output must be well-formed
+                assert fr.Y.shape == (H, W)
+        sess = DecoderSession()
+        sess.input_data(bytes(b))
+        sess.set_eof()
+        first = sess.get_frame()
+        assert first is not None, "picture 1 lost to a pic-2 bit flip"
+        np.testing.assert_array_equal(first[0], recons[0][0])
 
 
 def test_session_keyframe_resync():
