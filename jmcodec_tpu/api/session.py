@@ -333,12 +333,13 @@ class DecoderSession:
                     # a host-decoded picture broke the device DPB chain;
                     # stay on the host path until the next IDR
                     raise NotImplementedError("device DPB stale (fallback)")
-                refs = self._dev_list0(fs)
+                refs, ref_ids = self._dev_list0(fs)
                 if not refs:
                     raise ValueError(
                         "reference POC missing from DPB")  # resync path
                 with timers.stage("device_recon"):
-                    Yd, Ud, Vd = RT.decode_frame_symbols_inter(fs, refs)
+                    Yd, Ud, Vd = RT.decode_frame_symbols_inter(
+                        fs, refs, ref_ids=ref_ids)
                     Y, U, V = (np.asarray(p) for p in (Yd, Ud, Vd))
             counters.add("frames_device")
             if fs.is_idr:
@@ -398,7 +399,11 @@ class DecoderSession:
                         break
             order = lst
         n = getattr(fs, "num_ref_l0", 0) or len(order)
-        return [planes for (_fn, planes) in order[:n]]
+        order = order[:n]
+        # picture identity per index (frame_num; duplicates share identity)
+        # for the deblock bS picture comparison (8.7.2.1)
+        return ([planes for (_fn, planes) in order],
+                [fn for (fn, _planes) in order])
 
     def _host_refdec(self):
         if self._refdec is None:

@@ -70,9 +70,9 @@ class FastH264Parser:
                                         u.nal_ref_idc)
             if hdr.slice_type not in (SLICE_I, SLICE_P):
                 raise NotImplementedError("fast path: I/P slices only")
-            if pps.entropy_coding_mode_flag:
-                raise NotImplementedError("CABAC")
-            if hdr.slice_type == SLICE_I and pps.transform_8x8_mode_flag:
+            cabac = bool(pps.entropy_coding_mode_flag)
+            if (not cabac and hdr.slice_type == SLICE_I
+                    and pps.transform_8x8_mode_flag):
                 raise NotImplementedError("8x8 transform (native parser)")
             if hdr.mmco_ops or hdr.adaptive_ref_pic_marking_mode_flag:
                 raise NotImplementedError("MMCO (host path)")
@@ -107,10 +107,23 @@ class FastH264Parser:
                     elif wp0 != wcur:
                         raise NotImplementedError(
                             "per-slice pred_weight_tables differ (host path)")
-                parser.parse_p_slice(
+                if cabac:
+                    parser.parse_cabac_slice(
+                        fs, u.rbsp, r.pos, hdr.first_mb_in_slice,
+                        hdr.qp(pps), slice_id, True,
+                        hdr.num_ref_idx_active_l0,
+                        bool(pps.transform_8x8_mode_flag),
+                        hdr.cabac_init_idc)
+                else:
+                    parser.parse_p_slice(
+                        fs, u.rbsp, r.pos, hdr.first_mb_in_slice,
+                        hdr.qp(pps), slice_id, hdr.num_ref_idx_active_l0,
+                        bool(pps.transform_8x8_mode_flag))
+            elif cabac:
+                parser.parse_cabac_slice(
                     fs, u.rbsp, r.pos, hdr.first_mb_in_slice, hdr.qp(pps),
-                    slice_id, hdr.num_ref_idx_active_l0,
-                    bool(pps.transform_8x8_mode_flag))
+                    slice_id, False, 1,
+                    bool(pps.transform_8x8_mode_flag), 0)
             else:
                 parser.parse_slice(fs, u.rbsp, r.pos, hdr.first_mb_in_slice,
                                    hdr.qp(pps), slice_id)

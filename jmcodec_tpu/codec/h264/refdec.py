@@ -1033,7 +1033,9 @@ def compute_bs(g: MB.MBGrids, m: INTER.MotionGrids, b_aware: bool = False):
         if not b_aware:
             mvd = (np.abs(m.mv[p_sl][..., 0] - m.mv[q_sl][..., 0]) >= 4) | \
                   (np.abs(m.mv[p_sl][..., 1] - m.mv[q_sl][..., 1]) >= 4)
-            refd = m.ref[p_sl] != m.ref[q_sl]
+            # compare reference PICTURES, not indices (8.7.2.1): x264's
+            # weightp=2 duplicates a picture at two list indices
+            refd = m.refpic0[p_sl] != m.refpic0[q_sl]
             return mvd | refd
         # B-aware: per block, used refs = {refpic0?, refpic1?}; compare as
         # picture sets, then mv per matched picture (either pairing when the

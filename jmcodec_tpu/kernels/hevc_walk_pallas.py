@@ -110,8 +110,13 @@ def _pack_tables(sizes):
 
 
 def _rev(a):
-    """Reverse along the last axis."""
-    return jnp.flip(a, axis=-1)
+    """Reverse along the last axis via a static anti-diagonal masked sum
+    (Mosaic has no lowering for lax.rev). a [LB, K] int32."""
+    LB, K = a.shape
+    j = jax.lax.broadcasted_iota(jnp.int32, (LB, K, K), 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, (LB, K, K), 2)
+    m = (j + c) == K - 1
+    return jnp.sum(jnp.where(m, a[:, None, :], 0), axis=-1)
 
 
 def _shift_r(a, k, fill):
@@ -128,26 +133,27 @@ def _shift_l(a, k, fill):
 
 def _substitute(v, am):
     """Reference-sample substitution (8.4.4.2.2): nearest-available fill
-    via log-depth shift scans. v [LB, L] int32, am [LB, L] bool."""
+    via log-depth shift scans. v [LB, L] int32, am [LB, L] int32 0/1
+    (all-int32: Mosaic cannot reshape/expand i1 vectors)."""
     L = v.shape[-1]
-    val = jnp.where(am, v, 0)
+    val = jnp.where(am != 0, v, 0)
     have = am
     sh = 1
     while sh < L:
-        val = jnp.where(have, val, _shift_r(val, sh, 0))
-        have = have | _shift_r(have, sh, False)
+        val = jnp.where(have != 0, val, _shift_r(val, sh, 0))
+        have = have | _shift_r(have, sh, 0)
         sh *= 2
     fwd_v, fwd_f = val, have
-    val = jnp.where(am, v, 0)
+    val = jnp.where(am != 0, v, 0)
     have = am
     sh = 1
     while sh < L:
-        val = jnp.where(have, val, _shift_l(val, sh, 0))
-        have = have | _shift_l(have, sh, False)
+        val = jnp.where(have != 0, val, _shift_l(val, sh, 0))
+        have = have | _shift_l(have, sh, 0)
         sh *= 2
-    out = jnp.where(fwd_f, fwd_v, val)
-    any_av = jnp.any(am, axis=-1, keepdims=True)
-    return jnp.where(any_av, out, 128)
+    out = jnp.where(fwd_f != 0, fwd_v, val)
+    any_av = jnp.max(am, axis=-1, keepdims=True)
+    return jnp.where(any_av != 0, out, 128)
 
 
 def _filter_121(v):
@@ -179,13 +185,20 @@ def _strong_filter(v, n):
     nt = ((2 * n - 1 - k) * tl[:, None] + (k + 1) * tr[:, None] + 32) >> 6
     nt = jnp.where(k == 2 * n - 1, tr[:, None], nt)
     strong = jnp.concatenate([_rev(nl_down), tl[:, None], nt], axis=-1)
-    return strong, cond
+    return strong, jnp.where(cond, 1, 0)
+
+
+def _b3(x, n):
+    """Per-lane scalar [LB] -> [LB, n, 1] (Mosaic cannot broadcast into
+    sublanes and lanes at once, so expand the sublane dim explicitly)."""
+    LB = x.shape[0]
+    return jnp.broadcast_to(x[:, None], (LB, n))[:, :, None]
 
 
 def _tsel(oh, t):
     """Per-lane row select from a [35, K] table via the mode one-hot
-    mask oh [LB, 35] (masked sum; 35*K is small)."""
-    return jnp.sum(jnp.where(oh[:, :, None], t[None], 0), axis=1)
+    mask oh [LB, 35] int32 (masked sum; 35*K is small)."""
+    return jnp.sum(oh[:, :, None] * t[None], axis=1)
 
 
 def _gather_lanes(v, idx, chunk=16):
@@ -210,7 +223,7 @@ def _gather_rows(v, idx, chunk=4):
     Y = idx.shape[-1]
 
     def one(y0, cy, X):
-        idc = idx[:, y0:y0 + cy, None] + jax.lax.broadcasted_iota(
+        idc = idx[:, y0:y0 + cy][:, :, None] + jax.lax.broadcasted_iota(
             jnp.int32, (LB, cy, X), 2)
         sid = jax.lax.broadcasted_iota(jnp.int32, (LB, cy, X, S), 3)
         m = idc[..., None] == sid
@@ -248,7 +261,8 @@ def _candidate(Fo, Zr, Rr, Tr, Mr, TB, offs, n, x0, y0, C, is_chroma,
     FILT = TB[:, flo:flo + 1]
     ISHOR = TB[:, offs['ishor']:offs['ishor'] + 1]
 
-    active = Tr[:, cy0, cx0] == log2
+    tu_here = Tr[:, cy0, cx0]
+    active = tu_here == log2
 
     @pl.when(jnp.any(active))
     def _():
@@ -261,30 +275,35 @@ def _candidate(Fo, Zr, Rr, Tr, Mr, TB, offs, n, x0, y0, C, is_chroma,
         zl = Zr[:, 1 + cy0:1 + cy0 + 2 * n4, cx0]
         zt = Zr[:, cy0, 1 + cx0:1 + cx0 + 2 * n4]
         zc = Zr[:, cy0, cx0]
-        a_l = _rep4(_rev((zl < z_org[:, None]).astype(jnp.int32)))
-        a_t = _rep4((zt < z_org[:, None]).astype(jnp.int32))
-        amask = jnp.concatenate(
-            [a_l, (zc < z_org).astype(jnp.int32)[:, None], a_t],
-            axis=-1) != 0
+        a_l = _rep4(_rev(jnp.where(zl < z_org[:, None], 1, 0)))
+        a_t = _rep4(jnp.where(zt < z_org[:, None], 1, 0))
+        a_c = jnp.where(zc < z_org, 1, 0)[:, None]
+        amask = jnp.concatenate([a_l, a_c, a_t], axis=-1)
 
         vs = _substitute(v, amask)
         mode = Mr[:, cy0, cx0]
         mids = jax.lax.broadcasted_iota(jnp.int32, (LB, 35), 1)
-        oh = mode[:, None] == mids
+        oh = jnp.where(mode[:, None] == mids, 1, 0)
+        mode_n = _b3(mode, n)               # [LB, n, 1] int32
 
         if not is_chroma and n > 4:
             v121 = _filter_121(vs)
             if n == 32 and strong:
                 vstr, cond = _strong_filter(vs, n)
-                v121 = jnp.where(cond[:, None], vstr, v121)
-            fsel = _tsel(oh, FILT)[:, 0] > 0
-            vf = jnp.where(fsel[:, None], v121, vs)
+                v121 = jnp.where(cond[:, None] != 0, vstr, v121)
+            fsel = _tsel(oh, FILT)
+            vf = jnp.where(fsel != 0, v121, vs)
         else:
             vf = vs
 
+        # left-edge (downward) views: one reversal each of the filtered and
+        # unfiltered vectors, reused by main/planar and DC/edge paths
+        left_f = _rev(vf[:, :2 * n])             # vf left[0..2n-1] downward
+        left_s = left_f if vf is vs else _rev(vs[:, :2 * n])
+
         # ---- angular prediction ----
-        ishor = _tsel(oh, ISHOR)                 # [LB, 1]
-        main = jnp.where(ishor != 0, _rev(vf[:, :2 * n]), vf[:, 2 * n + 1:])
+        ishor = _tsel(oh, ISHOR)                 # [LB, 1] int32
+        main = jnp.where(ishor != 0, left_f, vf[:, 2 * n + 1:])
         proj = _gather_lanes(vf, _tsel(oh, PROJ))
         zcol = jnp.zeros((LB, 1), jnp.int32)
         # ext layout: [proj(n) | corner | main(2n) | none]
@@ -300,59 +319,61 @@ def _candidate(Fo, Zr, Rr, Tr, Mr, TB, offs, n, x0, y0, C, is_chroma,
         seg = jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
         f = frac[..., None]
         ang = ((32 - f) * seg[:, :, :n] + f * seg[:, :, 1:] + 16) >> 5
-        ang = jnp.where(ishor[:, :, None] != 0,
-                        jnp.swapaxes(ang, -1, -2), ang)
+        ish_n = _b3(ishor[:, 0], n)              # [LB, n, 1] int32
+        ang = jnp.where(ish_n != 0, jnp.swapaxes(ang, -1, -2), ang)
 
         # ---- planar (mode 0) ----
         xs = jax.lax.broadcasted_iota(jnp.int32, (LB, n), 1)
-        left = _rev(vf[:, :2 * n])[:, :n + 1]    # left[0..n] downward
+        left = left_f[:, :n + 1]                 # left[0..n] downward
         top = vf[:, 2 * n + 1:][:, :n + 1]
-        planar = ((n - 1 - xs)[:, None, :] * left[:, :n, None]
-                  + (xs + 1)[:, None, :] * top[:, n][:, None, None]
-                  + (n - 1 - xs)[:, :, None] * top[:, None, :n]
-                  + (xs + 1)[:, :, None] * left[:, n][:, None, None]
+        left_n = left[:, :n][:, :, None]         # [LB, n, 1]
+        top_n = top[:, :n][:, None, :]           # [LB, 1, n]
+        planar = ((n - 1 - xs)[:, None, :] * left_n
+                  + (xs + 1)[:, None, :] * _b3(top[:, n], n)
+                  + (n - 1 - xs)[:, :, None] * top_n
+                  + (xs + 1)[:, :, None] * _b3(left[:, n], n)
                   + n) >> (log2 + 1)
 
         # ---- DC (mode 1), unfiltered refs ----
         dc = (jnp.sum(vs[:, n:2 * n], axis=-1)
               + jnp.sum(vs[:, 2 * n + 1:3 * n + 1], axis=-1)
               + n) >> (log2 + 1)
-        dcp = jnp.broadcast_to(dc[:, None, None], (LB, n, n))
+        dcp = jnp.broadcast_to(_b3(dc, n), (LB, n, n))
         rid = jax.lax.broadcasted_iota(jnp.int32, (LB, n, n), 1)
         cid = jax.lax.broadcasted_iota(jnp.int32, (LB, n, n), 2)
         if not is_chroma and n < 32:
             t_row = vs[:, 2 * n + 1:3 * n + 1]
-            l_col = _rev(vs[:, :2 * n])[:, :n]
+            l_col = left_s[:, :n]
             edge_t = (t_row + 3 * dc[:, None] + 2) >> 2
             edge_l = (l_col + 3 * dc[:, None] + 2) >> 2
             cornr = (l_col[:, 0] + 2 * dc + t_row[:, 0] + 2) >> 2
             dcp = jnp.where(rid == 0, edge_t[:, None, :], dcp)
             dcp = jnp.where(cid == 0, edge_l[:, :, None], dcp)
-            dcp = jnp.where((rid == 0) & (cid == 0),
-                            cornr[:, None, None], dcp)
+            dcp = jnp.where((rid == 0) & (cid == 0), _b3(cornr, n), dcp)
 
-        out = jnp.where((mode == 0)[:, None, None], planar,
-                        jnp.where((mode == 1)[:, None, None], dcp, ang))
+        out = jnp.where(mode_n == 0, planar,
+                        jnp.where(mode_n == 1, dcp, ang))
 
         # pure vertical/horizontal edge filters (luma, n<32)
         if not is_chroma and n < 32:
             t_row = vs[:, 2 * n + 1:3 * n + 1]
-            l_col = _rev(vs[:, :2 * n])[:, :n]
+            l_col = left_s[:, :n]
             tl = vs[:, 2 * n]
             ver_col = jnp.clip(((l_col - tl[:, None]) >> 1) + t_row[:, 0:1],
                                0, 255)
             hor_row = jnp.clip(((t_row - tl[:, None]) >> 1) + l_col[:, 0:1],
                                0, 255)
-            out = jnp.where((mode == 26)[:, None, None] & (cid == 0),
+            out = jnp.where((mode_n == 26) & (cid == 0),
                             ver_col[:, :, None], out)
-            out = jnp.where((mode == 10)[:, None, None] & (rid == 0),
+            out = jnp.where((mode_n == 10) & (rid == 0),
                             hor_row[:, None, :], out)
 
         rblk = Rr[:, y0:y0 + n, x0:x0 + n]
         rec = jnp.clip(out + rblk, 0, 255)
         cur = Fo[:, y0 + 1:y0 + 1 + n, x0 + 1:x0 + 1 + n]
         Fo[:, y0 + 1:y0 + 1 + n, x0 + 1:x0 + 1 + n] = jnp.where(
-            active[:, None, None], rec.astype(Fo.dtype), cur)
+            _b3(tu_here, n) == log2, rec, cur.astype(jnp.int32)
+        ).astype(Fo.dtype)
 
 
 def _make_kernel(C, max_tu, is_chroma, strong):
@@ -387,6 +408,11 @@ def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ, fdt_name,
     bs_tbl = pl.BlockSpec(tbl_np.shape, lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
 
+    import os
+    vmem_mb = int(os.environ.get("JMX_PALLAS_VMEM_MB", "96"))
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=vmem_mb * 1024 * 1024)
+
     def run(F, Z, resid, tu, mode):
         return pl.pallas_call(
             kernel,
@@ -396,6 +422,7 @@ def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ, fdt_name,
             out_specs=bs((HF, WF)),
             out_shape=jax.ShapeDtypeStruct((B, HF, WF), fdt),
             input_output_aliases={0: 0},
+            compiler_params=params,
             interpret=bool(interpret),
         )(F, Z, resid, tu, mode, jnp.asarray(tbl_np))
     return run

@@ -338,13 +338,19 @@ def _mc_chroma_batched(refc, mv, ref_idx, mbh, mbw):
             + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
 
 
-def _bs_planes(mb_class, nz_luma, mv, ref_idx):
+def _bs_planes(mb_class, nz_luma, mv, ref_idx, ref_ids=None):
     """Device twin of refdec.compute_bs: per-4x4-edge boundary strengths.
-    Returns (bs_v, bs_h) [gh, gw] (edge left/top of each block)."""
+    Returns (bs_v, bs_h) [gh, gw] (edge left/top of each block). ref_ids
+    [R] maps list indices to picture identities (8.7.2.1 compares
+    PICTURES — x264 weightp=2 duplicates one picture at two indices)."""
     gh, gw = nz_luma.shape
     mbcls_blk = jnp.repeat(jnp.repeat(mb_class, 4, 0), 4, 1)
     blk_intra = mbcls_blk != 3
     nz = nz_luma > 0
+    if ref_ids is not None:
+        refpic = ref_ids[jnp.clip(ref_idx, 0, ref_ids.shape[0] - 1)]
+    else:
+        refpic = ref_idx
 
     def edge(pi, qi, mb_edge):
         intra_e = blk_intra[pi] | blk_intra[qi]
@@ -352,7 +358,7 @@ def _bs_planes(mb_class, nz_luma, mv, ref_idx):
         coeff = nz[pi] | nz[qi]
         mvd = (jnp.abs(mv[pi][..., 0] - mv[qi][..., 0]) >= 4) | \
               (jnp.abs(mv[pi][..., 1] - mv[qi][..., 1]) >= 4)
-        refd = ref_idx[pi] != ref_idx[qi]
+        refd = refpic[pi] != refpic[qi]
         inter_bs = jnp.where(coeff, 2, jnp.where(mvd | refd, 1, 0))
         return jnp.where(intra_e, bsx, inter_bs)
 
@@ -762,7 +768,8 @@ def decode_frame_inter(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
                        chroma_dc, avail_left, avail_top, avail_topright,
                        alpha_off, beta_off, chroma_qp_off,
                        second_chroma_qp_off, mv, ref_idx, ref_y, ref_u, ref_v,
-                       deblock: bool = True, wp=None, wp_logwd=None):
+                       deblock: bool = True, wp=None, wp_logwd=None,
+                       ref_ids=None):
     """Device decode of a P frame: batched MC (wavefront-free) + intra
     wavefront for intra MBs + bS-driven deblock. ref_*: [n_refs, ...] padded
     reference planes (prep_ref_planes), list0 order. wp: explicit
@@ -773,7 +780,7 @@ def decode_frame_inter(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
                         alpha_off, beta_off, chroma_qp_off,
                         second_chroma_qp_off, deblock,
                         mv, ref_idx, ref_y, ref_u, ref_v,
-                        wp=wp, wp_logwd=wp_logwd)
+                        wp=wp, wp_logwd=wp_logwd, ref_ids=ref_ids)
 
 
 def _decode_core(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
@@ -781,7 +788,7 @@ def _decode_core(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
                  avail_left, avail_top, avail_topright,
                  alpha_off, beta_off, chroma_qp_off, second_chroma_qp_off,
                  deblock, mv, ref_idx, ref_y, ref_u, ref_v,
-                 wp=None, wp_logwd=None):
+                 wp=None, wp_logwd=None, ref_ids=None):
     (mb_class, qp, i4_modes, i16_mode, chroma_mode, luma_coeffs, luma_dc,
      chroma_coeffs, chroma_dc, avail_left, avail_top, avail_topright) = [
         a.astype(jnp.int32) if a.dtype != jnp.int32 else a
@@ -874,7 +881,7 @@ def _decode_core(mbh: int, mbw: int, mb_class, qp, i4_modes, i16_mode,
             beta_off, chroma_qp_off, second_chroma_qp_off)
     elif deblock:
         nz_blk = jnp.any(luma_coeffs != 0, axis=(-1, -2)).astype(jnp.int32)
-        bs_v, bs_h = _bs_planes(mb_class, nz_blk, mv, ref_idx)
+        bs_v, bs_h = _bs_planes(mb_class, nz_blk, mv, ref_idx, ref_ids)
         # reshape to per-MB [4(edge/col), 4(sub)] and skew
         bsv_mb = bs_v.reshape(mbh, 4, mbw, 4).transpose(0, 2, 3, 1)
         bsh_mb = bs_h.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3)
@@ -927,9 +934,10 @@ def pad_ref_device(Y, U, V):
             jnp.pad(V.astype(jnp.int32), MC_PAD // 2, mode="edge"))
 
 
-def decode_frame_symbols_inter(fs, refs, deblock=None):
+def decode_frame_symbols_inter(fs, refs, deblock=None, ref_ids=None):
     """FrameSymbols of a P frame + device ref list [(Yp,Up,Vp), ...]
-    (pad_ref_device, list0 order) -> (Y, U, V) uint8 numpy."""
+    (pad_ref_device, list0 order) -> (Y, U, V) uint8 numpy. ref_ids: per
+    list-index picture identity for the deblock bS derivation."""
     if deblock is None:
         deblock = fs.deblock_enabled
     ref_y = jnp.stack([r[0] for r in refs])
@@ -949,7 +957,9 @@ def decode_frame_symbols_inter(fs, refs, deblock=None):
         ref_y, ref_u, ref_v, deblock=deblock,
         wp=(None if fs.wp is None else jnp.asarray(fs.wp)),
         wp_logwd=(None if fs.wp is None
-                  else jnp.asarray(fs.wp_logwd, jnp.int32)))
+                  else jnp.asarray(fs.wp_logwd, jnp.int32)),
+        ref_ids=(None if ref_ids is None
+                 else jnp.asarray(ref_ids, jnp.int32)))
     return out
 
 

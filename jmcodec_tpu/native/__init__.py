@@ -46,12 +46,16 @@ def _generate_tables() -> None:
     _gen_header("hevc_tables.h", "jmcodec_tpu.native.gen_hevc_native_tables",
                 [("codec", "hevc", "cabac_tables.py"),
                  ("codec", "h264", "cabac_tables.py")])
+    _gen_header("h264_cabac_tables.h",
+                "jmcodec_tpu.native.gen_h264_cabac_tables",
+                [("codec", "h264", "cabac_tables.py")])
 
 
 def build(force: bool = False) -> str:
     """Compile the native library if needed; returns its path."""
     os.makedirs(_BUILD, exist_ok=True)
     srcs = [os.path.join(_SRC, "h264_parse.cc"),
+            os.path.join(_SRC, "h264_cabac.cc"),
             os.path.join(_SRC, "hevc_parse.cc")]
     if (not force and os.path.exists(_LIB)
             and all(os.path.getmtime(_LIB) >= os.path.getmtime(s) for s in srcs)):
@@ -73,6 +77,7 @@ def get_lib():
             path = build()
             lib = ctypes.CDLL(path)
             lib.jmx_parse_i_slice.restype = ctypes.c_int
+            lib.jmx_parse_cabac_slice.restype = ctypes.c_int
             lib.jmx_hevc_parse_i_slice.restype = ctypes.c_int
             _lib = lib
         except Exception:
@@ -228,8 +233,66 @@ def _extend_p(parser_cls):
             fs.pcm_v = pcm_c[1].astype(np.int32)
         return n
 
+    def init_cabac(self):
+        if not hasattr(self, "cs_skip"):
+            mh, mw = self.mbh, self.mbw
+            z = lambda *s: np.zeros(s, np.int32)
+            self.cs_skip = z(mh, mw)
+            self.cs_t8 = z(mh, mw)
+            self.cs_cbp_luma = z(mh, mw)
+            self.cs_cbp_chroma = z(mh, mw)
+            self.cs_cbf_dc = z(mh, mw)
+            self.cs_cbf_luma = z(mh * 4, mw * 4)
+            self.cs_cbf_cdc = z(2, mh, mw)
+            self.cs_cbf_cac = z(2, mh * 2, mw * 2)
+            self.cs_mvd = z(mh * 4, mw * 4, 2)
+
+    def parse_cabac_slice(self, fs, rbsp: bytes, bit_offset: int,
+                          first_mb: int, slice_qp: int, slice_id: int,
+                          is_p: bool, num_ref: int, t8_allowed: bool,
+                          cabac_init_idc: int) -> int:
+        """Parse one CABAC I/P slice_data into FrameSymbols fs (+ motion
+        for P). Raises NotImplementedError for out-of-scope features so the
+        caller falls back to the host path."""
+        self.init_motion()
+        self.init_cabac()
+        buf = np.frombuffer(rbsp, np.uint8)
+        if fs.pcm_y is None:
+            pcm_y = np.zeros((self.mbh * 16, self.mbw * 16), np.uint8)
+            pcm_c = np.zeros((2, self.mbh * 8, self.mbw * 8), np.uint8)
+        else:
+            pcm_y = fs.pcm_y.astype(np.uint8)
+            pcm_c = np.stack([fs.pcm_u, fs.pcm_v]).astype(np.uint8)
+        n = self.lib.jmx_parse_cabac_slice(
+            _ptr(buf), ctypes.c_int64(len(rbsp)), ctypes.c_int64(bit_offset),
+            self.mbw, self.mbh, first_mb, slice_qp, slice_id,
+            1 if is_p else 0, int(num_ref), 1 if t8_allowed else 0,
+            int(cabac_init_idc),
+            _ptr(self.nz_luma), _ptr(self.nz_chroma), _ptr(self.i4_grid),
+            _ptr(self.slice_map), _ptr(fs.mb_class), _ptr(fs.qp),
+            _ptr(fs.i4_modes), _ptr(fs.i16_mode), _ptr(fs.chroma_mode),
+            _ptr(fs.luma_coeffs), _ptr(fs.luma_dc), _ptr(fs.chroma_coeffs),
+            _ptr(fs.chroma_dc), _ptr(pcm_y), _ptr(pcm_c),
+            _ptr(self.mv), _ptr(self.ref), _ptr(self.done),
+            _ptr(self.cs_skip), _ptr(self.cs_t8), _ptr(self.cs_cbp_luma),
+            _ptr(self.cs_cbp_chroma), _ptr(self.cs_cbf_dc),
+            _ptr(self.cs_cbf_luma), _ptr(self.cs_cbf_cdc),
+            _ptr(self.cs_cbf_cac), _ptr(self.cs_mvd))
+        if n == -21:
+            raise NotImplementedError("8x8 transform (native CABAC path)")
+        if n < 0:
+            raise ValueError(f"native CABAC slice parse error {n}")
+        if (fs.mb_class == 2).any():
+            fs.has_pcm = True
+            fs.pcm_y = pcm_y.astype(np.int32)
+            fs.pcm_u = pcm_c[0].astype(np.int32)
+            fs.pcm_v = pcm_c[1].astype(np.int32)
+        return n
+
     parser_cls.init_motion = init_motion
     parser_cls.parse_p_slice = parse_p_slice
+    parser_cls.init_cabac = init_cabac
+    parser_cls.parse_cabac_slice = parse_cabac_slice
 
 
 _extend_p(NativeSliceParser)
