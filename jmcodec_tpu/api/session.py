@@ -168,10 +168,14 @@ class DecoderSession:
         return repack(*fr, self.out_fmt)
 
     def get_frame(self):
-        """Pop one frame as (Y, U, V) numpy planes."""
+        """Pop one frame as (Y, U, V) numpy planes. Device-decoded frames
+        are materialized here — the only host<->device sync point, so host
+        parse of later pictures overlaps device compute (AsyncDepth parity,
+        intel_dec.cpp:36)."""
         if not self._frames:
             return None
         fr = self._frames.popleft()
+        fr = tuple(np.asarray(p) for p in fr)
         if self._yuv_callback is not None:
             self._yuv_callback(*fr)
         return fr
@@ -321,7 +325,7 @@ class DecoderSession:
             from ..kernels import recon_tiles as RT
             if fs.mv is None:
                 with timers.stage("device_recon"):
-                    Y, U, V = RT.decode_frame_symbols(fs)
+                    Y, U, V = RT.decode_frame_symbols_device(fs)
             else:
                 # P picture: MC against the device-resident DPB. Emitting
                 # without a reorder buffer requires decode order == display
@@ -338,9 +342,8 @@ class DecoderSession:
                     raise ValueError(
                         "reference POC missing from DPB")  # resync path
                 with timers.stage("device_recon"):
-                    Yd, Ud, Vd = RT.decode_frame_symbols_inter(
+                    Y, U, V = RT.decode_frame_symbols_inter(
                         fs, refs, ref_ids=ref_ids)
-                    Y, U, V = (np.asarray(p) for p in (Yd, Ud, Vd))
             counters.add("frames_device")
             if fs.is_idr:
                 self._fast_dirty = False
@@ -349,7 +352,11 @@ class DecoderSession:
             # device-decoded refs (ADVICE r1 #1), and keep the padded
             # device copy for MC of later fast-path pictures
             if fs.nal_ref_idc != 0:
-                self._mirror_into_host_dpb(fs, Y, U, V)
+                # defer the host-DPB mirror: materializing Y here would
+                # serialize parse and device compute; a host fallback pulls
+                # the pending pictures down first (_flush_mirrors)
+                self._pending_mirror = getattr(self, "_pending_mirror", [])
+                self._pending_mirror.append((fs, Y, U, V))
                 self._dev_dpb_add(fs, Y, U, V)
             w, h = sps.width, sps.height
             self._frames.append((Y[:h, :w], U[:h // 2, :w // 2],
@@ -363,9 +370,8 @@ class DecoderSession:
             self._dev_dpb = []
         if not hasattr(self, "_dev_dpb"):
             self._dev_dpb = []
-        padded = RT.pad_ref_device(jnp.asarray(np.asarray(Y, np.uint8)),
-                                   jnp.asarray(np.asarray(U, np.uint8)),
-                                   jnp.asarray(np.asarray(V, np.uint8)))
+        padded = RT.pad_ref_device(jnp.asarray(Y), jnp.asarray(U),
+                                   jnp.asarray(V))
         self._dev_dpb.insert(0, (fs.frame_num, padded))
         del self._dev_dpb[max(1, fs.max_num_ref_frames):]
 
@@ -409,11 +415,23 @@ class DecoderSession:
         if self._refdec is None:
             from ..codec.h264.refdec import H264ReferenceDecoder
             self._refdec = H264ReferenceDecoder()
+        self._flush_mirrors()
         return self._refdec
+
+    def _flush_mirrors(self) -> None:
+        """Materialize device-decoded reference pictures into the host DPB
+        (deferred from the fast path so it never blocks the pipeline)."""
+        for (fs, Y, U, V) in getattr(self, "_pending_mirror", []):
+            self._mirror_into_host_dpb(fs, np.asarray(Y), np.asarray(U),
+                                       np.asarray(V))
+        self._pending_mirror = []
 
     def _mirror_into_host_dpb(self, fs, Y, U, V) -> None:
         from ..codec.h264.refdec import RefPicture
-        dec = self._host_refdec()
+        dec = self._refdec
+        if dec is None:
+            from ..codec.h264.refdec import H264ReferenceDecoder
+            dec = self._refdec = H264ReferenceDecoder()
         if fs.is_idr:
             dec.dpb.clear()
         dec.dpb.max_refs = max(1, fs.max_num_ref_frames)
@@ -600,13 +618,18 @@ class EncoderSession:
 
     def __init__(self, params: Optional[EncoderParams] = None):
         self.params = params or EncoderParams()
-        if self.params.num_bframe:
-            raise NotImplementedError("B-frames land with the inter path")
         engine = self.params.engine
         if engine == "auto":
             import jax
             engine = ("device" if jax.devices()[0].platform != "cpu"
                       else "host")
+        if self.params.num_bframe and self.params.codec != Codec.H264:
+            raise NotImplementedError("B-frames: H.264 only")
+        if self.params.num_bframe and engine == "device":
+            # the device engine's batched ME is P-only so far; B groups
+            # run on the host engine (honest fallback, logged)
+            logger.info("num_bframe>0: using the host encode engine")
+            engine = "host"
         if self.params.codec == Codec.HEVC:
             # all-intra HEVC encode (v1 scope; every frame is an IDR)
             from ..codec.hevc.refenc import HevcIntraEncoder
@@ -633,7 +656,8 @@ class EncoderSession:
             cfg = EncoderConfig(
                 self.params.width, self.params.height,
                 qp=self.params.effective_qp(),
-                gop_len=max(1, self.params.gop_len), **knobs)
+                gop_len=max(1, self.params.gop_len),
+                num_bframe=int(self.params.num_bframe), **knobs)
             if engine == "device":
                 from ..codec.h264.devenc import DeviceH264Encoder
                 self._enc = DeviceH264Encoder(cfg)
@@ -681,7 +705,12 @@ class EncoderSession:
                                      np.asarray(V, np.int32), qp=qp)
         if self._rc is not None:
             self._rc.update("I" if is_key else "P", qp, len(nal) * 8)
-        self._out.append((payload + nal, is_key))
+        if nal:
+            # B groups emit several access units at once (decode order);
+            # an empty return means the picture is buffered in its group
+            self._out.append((payload + nal, is_key))
+        elif payload:
+            self._out.append((payload, is_key))
         self._meter.tick_frame()
 
     def output_bitstream(self) -> Optional[Tuple[bytes, bool]]:
@@ -691,6 +720,10 @@ class EncoderSession:
         return self._out.popleft()
 
     def set_eof(self) -> None:
+        if not self._eof and hasattr(self._enc, "flush"):
+            tail = self._enc.flush()
+            if tail:
+                self._out.append((tail, False))
         self._eof = True
 
     def is_exit(self) -> bool:

@@ -840,3 +840,97 @@ def _parse_b_residual_tail(r, g, m, my, mx, cur_slice, qp_prev, s,
         s.qp = qp_prev
     g.qp[my, mx] = s.qp
     MB._parse_residual(r, g, my, mx, cur_slice, s)
+
+
+# ---------------------------------------------------------------------------
+# B-slice writing (encoder side): num_ref = 1 per list, CAVLC.
+# Reference capability: frameIntervalP B-frames (nv_enc/nv_enc.cpp:527-528).
+# ---------------------------------------------------------------------------
+
+# inverse of B_MB_TABLE for the 16x16 shapes the encoder emits
+B_TYPE_L0_16x16 = 1
+B_TYPE_L1_16x16 = 2
+B_TYPE_BI_16x16 = 3
+
+
+def write_b_macroblock(w: BitWriter, g: MB.MBGrids, m: MotionGrids,
+                       my: int, mx: int, cur_slice: int, qp_prev: int,
+                       s: "BMBSymbols", l0_pocs, l1_pocs) -> None:
+    """Write one non-skip B macroblock (intra, B_Direct_16x16, or the
+    16x16 L0/L1/Bi shapes). Grid updates mirror the parser exactly so the
+    encoder's MV predictors match the decoder's."""
+    if s.mb_class != MB_B:
+        MB.write_i_macroblock(w, g, my, mx, cur_slice, qp_prev, s,
+                              mb_type_offset=23)
+        sl = (slice(my * 4, my * 4 + 4), slice(mx * 4, mx * 4 + 4))
+        m.ref[sl] = -1
+        m.ref1[sl] = -1
+        m.mv[sl] = 0
+        m.mv1[sl] = 0
+        m.refpic0[sl] = MotionGrids.NO_PIC
+        m.refpic1[sl] = MotionGrids.NO_PIC
+        m.done[sl] = 1
+        return
+
+    g.mb_class[my, mx] = MB_B
+    g.slice_id[my, mx] = cur_slice
+    g.i4_modes[my * 4:my * 4 + 4, mx * 4:mx * 4 + 4] = -1
+
+    if s.is_direct:
+        # B_Direct_16x16: motion already derived + written to the grids by
+        # apply_direct; only the mb_type is coded
+        w.ue(0)
+    else:
+        part = s.partitions[0]
+        use0 = part.ref_idx >= 0
+        use1 = part.ref_idx1 >= 0
+        w.ue(B_TYPE_BI_16x16 if (use0 and use1)
+             else (B_TYPE_L0_16x16 if use0 else B_TYPE_L1_16x16))
+        by, bx = my * 4, mx * 4
+        # mvd emission mirrors parse order: L0 first, then L1; mvp computed
+        # BEFORE the grids are updated for this MB
+        mvds = []
+        for lst in (0, 1):
+            use = use0 if lst == 0 else use1
+            if not use:
+                continue
+            mv = part.mv if lst == 0 else part.mv1
+            ref = part.ref_idx if lst == 0 else part.ref_idx1
+            mvp = predict_mv(g, m.lst(lst), by, bx, 4, 4, ref, cur_slice)
+            mvds.append((int(mv[0] - mvp[0]), int(mv[1] - mvp[1])))
+            sl = (slice(by, by + 4), slice(bx, bx + 4))
+            if lst == 0:
+                m.mv[sl] = mv
+                m.ref[sl] = ref
+                m.refpic0[sl] = l0_pocs[ref]
+            else:
+                m.mv1[sl] = mv
+                m.ref1[sl] = ref
+                m.refpic1[sl] = l1_pocs[ref]
+        sl = (slice(by, by + 4), slice(bx, bx + 4))
+        if not use0:
+            m.ref[sl] = -1
+            m.mv[sl] = 0
+            m.refpic0[sl] = MotionGrids.NO_PIC
+        if not use1:
+            m.ref1[sl] = -1
+            m.mv1[sl] = 0
+            m.refpic1[sl] = MotionGrids.NO_PIC
+        m.done[sl] = 1
+        for (dx, dy) in mvds:
+            w.se(dx)
+            w.se(dy)
+
+    cbp = (s.cbp_chroma << 4) | s.cbp_luma
+    w.ue(int(MB.CBP_INTER_TO_CODE[cbp]))
+    if s.cbp_luma or s.cbp_chroma:
+        delta = s.qp - qp_prev
+        if delta > 25:
+            delta -= 52
+        elif delta < -26:
+            delta += 52
+        w.se(delta)
+    else:
+        s.qp = qp_prev
+    g.qp[my, mx] = s.qp
+    MB._write_residual(w, g, my, mx, cur_slice, s)

@@ -28,8 +28,10 @@ from . import macroblock as MB
 from . import nal
 from .params import PPS, SPS
 from .refdec import (RefPicture, compute_bs, recon_i4_block,
-                     reconstruct_inter_mb, scan_to_raster4x4, _tr_available)
-from .slicehdr import SLICE_I, SLICE_P, SliceHeader, write_slice_header
+                     reconstruct_b_mb, reconstruct_inter_mb,
+                     scan_to_raster4x4, _tr_available)
+from .slicehdr import (SLICE_B, SLICE_I, SLICE_P, SliceHeader,
+                       write_slice_header)
 
 
 def raster_to_scan4x4(blk: np.ndarray, ac_only: bool = False) -> List[int]:
@@ -53,6 +55,8 @@ class EncoderConfig:
     gop_len: int = 1          # 1 = all-intra; >1 = IDR + P...P closed GOPs
     search_range: int = 16    # integer-pel ME range
     inter_partitions: bool = True  # try 16x8/8x16 splits in P MBs
+    num_bframe: int = 0       # B pictures between anchors (frameIntervalP
+    #                           parity, nv_enc/nv_enc.cpp:527-528)
 
 
 class H264ReferenceEncoder:
@@ -64,12 +68,25 @@ class H264ReferenceEncoder:
         crop_b = (self.mbh * 16 - cfg.height)
         if crop_r % 2 or crop_b % 2:
             raise ValueError("width/height must be even (4:2:0)")
-        self.sps = SPS(
-            profile_idc=66, constraint_set_flags=0x40, level_idc=cfg.level_idc,
-            pic_width_in_mbs=self.mbw, pic_height_in_map_units=self.mbh,
-            frame_cropping_flag=1 if (crop_r or crop_b) else 0,
-            crop_right=crop_r // 2, crop_bottom=crop_b // 2,
-            max_num_ref_frames=1, pic_order_cnt_type=2)
+        if cfg.num_bframe:
+            # B pictures need display reorder: Main profile, poc type 0,
+            # two anchor references
+            self.sps = SPS(
+                profile_idc=77, constraint_set_flags=0,
+                level_idc=cfg.level_idc,
+                pic_width_in_mbs=self.mbw, pic_height_in_map_units=self.mbh,
+                frame_cropping_flag=1 if (crop_r or crop_b) else 0,
+                crop_right=crop_r // 2, crop_bottom=crop_b // 2,
+                max_num_ref_frames=2, pic_order_cnt_type=0,
+                log2_max_pic_order_cnt_lsb=8)
+        else:
+            self.sps = SPS(
+                profile_idc=66, constraint_set_flags=0x40,
+                level_idc=cfg.level_idc,
+                pic_width_in_mbs=self.mbw, pic_height_in_map_units=self.mbh,
+                frame_cropping_flag=1 if (crop_r or crop_b) else 0,
+                crop_right=crop_r // 2, crop_bottom=crop_b // 2,
+                max_num_ref_frames=1, pic_order_cnt_type=2)
         self.pps = PPS(pic_init_qp=cfg.qp,
                        deblocking_filter_control_present_flag=1)
         self.idr_count = 0
@@ -77,20 +94,80 @@ class H264ReferenceEncoder:
         self.frame_num = 0
         self.dpb: List[RefPicture] = []
         self.last_recon: Optional[Tuple[np.ndarray, ...]] = None
+        # B-group state: buffered display-order frames awaiting their
+        # forward anchor, and per-picture POC bookkeeping
+        self._pending: List[tuple] = []
+        self._disp_idx = 0          # display index of the NEXT input frame
+        self._idr_disp = 0          # display index of the last IDR
+        self._anchor_poc = 0
 
     # ------------------------------------------------------------------
 
     def encode_frame(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray,
                      qp: int = None) -> bytes:
-        """Encode the next frame per the GOP structure (IDR or P).
-        qp overrides cfg.qp for this frame (rate control hook); the delta
-        is carried in slice_qp_delta, parity with the RC the reference
-        delegates to silicon (intel_enc.cpp:512 VBR, nv_enc.cpp:534 CBR)."""
+        """Encode the next frame per the GOP structure (IDR, P or a
+        buffered B group). Returns the bytes of every picture completed by
+        this input (decode order; possibly empty while a B group fills,
+        possibly several access units when an anchor closes a group).
+        qp overrides cfg.qp for this frame (rate control hook)."""
+        if self.cfg.num_bframe:
+            return self._encode_frame_b(Y, U, V, qp)
         if self.cfg.gop_len <= 1 or self.frame_idx % self.cfg.gop_len == 0:
             out = self.encode_idr(Y, U, V, qp=qp)
         else:
             out = self.encode_p(Y, U, V, qp=qp)
         self.frame_idx += 1
+        return out
+
+    def _encode_frame_b(self, Y, U, V, qp) -> bytes:
+        out = b""
+        at_idr = self.cfg.gop_len <= 1 or \
+            self.frame_idx % self.cfg.gop_len == 0
+        if at_idr:
+            out += self.flush()           # closed GOP: no B across the IDR
+            self._idr_disp = self._disp_idx
+            out += self.encode_idr(Y, U, V, qp=qp)
+            self._anchor_poc = 0
+            self._disp_idx += 1
+            self.frame_idx += 1
+            return out
+        self._pending.append((Y, U, V, qp, self._disp_idx))
+        self._disp_idx += 1
+        self.frame_idx += 1
+        if len(self._pending) == self.cfg.num_bframe + 1:
+            out += self._encode_group()
+        return out
+
+    def flush(self) -> bytes:
+        """Encode any buffered pictures (EOF / pre-IDR): the last buffered
+        frame becomes a P anchor, earlier ones its B group."""
+        if not self._pending:
+            return b""
+        return self._encode_group()
+
+    def _poc_of(self, disp_idx: int) -> int:
+        return 2 * (disp_idx - self._idr_disp)
+
+    def _encode_group(self) -> bytes:
+        """Pending frames [B..B, anchor] -> anchor P first (decode order),
+        then the Bs referencing (previous anchor, new anchor)."""
+        group = self._pending
+        self._pending = []
+        prev_anchor = self.dpb[0]
+        prev_poc = self._anchor_poc
+        Ya, Ua, Va, qpa, disp_a = group[-1]
+        out = self.encode_p(Ya, Ua, Va, qp=qpa,
+                            poc=self._poc_of(disp_a), keep_prev=True)
+        new_anchor = self.dpb[0]
+        self._anchor_poc = self._poc_of(disp_a)
+        for (Yb, Ub, Vb, qpb, disp_b) in group[:-1]:
+            out += self.encode_b(Yb, Ub, Vb, qp=qpb,
+                                 poc=self._poc_of(disp_b),
+                                 prev_anchor=prev_anchor, prev_poc=prev_poc,
+                                 next_anchor=new_anchor,
+                                 next_poc=self._anchor_poc)
+        # sliding window: keep only the two newest anchors
+        self.dpb = self.dpb[:2]
         return out
 
     # ------------------------------------------------------------------
@@ -139,8 +216,11 @@ class H264ReferenceEncoder:
         return nal.write_nal_unit(3, nal.NAL_SLICE_IDR, sw.bytes())
 
     def encode_p(self, Y: np.ndarray, U: np.ndarray, V: np.ndarray,
-                 qp: int = None) -> bytes:
-        """Encode one P frame (16x16 partitions + P_Skip + intra fallback)."""
+                 qp: int = None, poc: int = 0,
+                 keep_prev: bool = False) -> bytes:
+        """Encode one P frame (16x16 partitions + P_Skip + intra fallback).
+        poc: display POC (poc type 0 streams); keep_prev keeps the previous
+        anchor in the DPB (B groups need both anchors)."""
         qp = self.cfg.qp if qp is None else int(qp)
         Yp = self._pad(np.asarray(Y, np.int32))
         Up = self._pad(np.asarray(U, np.int32), c=True)
@@ -149,6 +229,7 @@ class H264ReferenceEncoder:
         hdr = SliceHeader(
             slice_type=SLICE_P, frame_num=self.frame_num, is_idr=False,
             nal_ref_idc=2, num_ref_idx_active_l0=1,
+            pic_order_cnt_lsb=poc % (1 << self.sps.log2_max_pic_order_cnt_lsb),
             slice_qp_delta=qp - self.pps.pic_init_qp,
             disable_deblocking_filter_idc=1 if self.cfg.disable_deblock else 0)
         sw = write_slice_header(hdr, self.sps, self.pps)
@@ -179,6 +260,10 @@ class H264ReferenceEncoder:
         sw.rbsp_trailing_bits()
 
         pre = (Yr.copy(), Ur.copy(), Vr.copy())
+        # reference-picture identity per block (deblock bS + temporal
+        # direct of later pictures, as the decoder records it)
+        mask = m.ref >= 0
+        m.refpic0[mask] = refs[0].poc
         if not self.cfg.disable_deblock:
             bs_v, bs_h = compute_bs(g, m)
             DB.deblock_frame(Yr, Ur, Vr, g.qp, bs_v, bs_h,
@@ -186,11 +271,255 @@ class H264ReferenceEncoder:
         self.last_recon = (Yr.astype(np.uint8), Ur.astype(np.uint8),
                            Vr.astype(np.uint8))
         self.last_pre_deblock = pre
-        self.dpb = [RefPicture(self.frame_num, Yr.copy(), Ur.copy(),
-                               Vr.copy())]
+        new_ref = RefPicture(self.frame_num, Yr.copy(), Ur.copy(), Vr.copy(),
+                             poc=poc,
+                             mot_ref0=m.ref.copy(), mot_mv0=m.mv.copy(),
+                             mot_ref1=m.ref1.copy(), mot_mv1=m.mv1.copy(),
+                             mot_refpic0=m.refpic0.copy(),
+                             mot_refpic1=m.refpic1.copy(),
+                             own_l0_poc0=refs[0].poc)
+        if keep_prev:
+            # most-recent-first (list0 default order is PicNum descending)
+            self.dpb = [new_ref] + self.dpb[:1]
+        else:
+            self.dpb = [new_ref]
         return nal.write_nal_unit(2, nal.NAL_SLICE_NON_IDR, sw.bytes())
 
     # ------------------------------------------------------------------
+
+    def encode_b(self, Y, U, V, qp, poc, prev_anchor, prev_poc,
+                 next_anchor, next_poc) -> bytes:
+        """Encode one non-reference B picture between two anchors
+        (B_Skip / B_Direct_16x16 / L0 / L1 / Bi 16x16 + intra fallback),
+        reconstructed through the decoder path for bit-exactness."""
+        qp = self.cfg.qp if qp is None else int(qp)
+        Yp = self._pad(np.asarray(Y, np.int32))
+        Up = self._pad(np.asarray(U, np.int32), c=True)
+        Vp = self._pad(np.asarray(V, np.int32), c=True)
+        # non-reference picture: frame_num = PrevRefFrameNum + 1 (7.4.3)
+        bfn = (self.frame_num + 1) % (1 << self.sps.log2_max_frame_num)
+        hdr = SliceHeader(
+            slice_type=SLICE_B, frame_num=bfn, is_idr=False,
+            nal_ref_idc=0, num_ref_idx_active_l0=1, num_ref_idx_active_l1=1,
+            direct_spatial_mv_pred_flag=1,
+            pic_order_cnt_lsb=poc % (1 << self.sps.log2_max_pic_order_cnt_lsb),
+            slice_qp_delta=qp - self.pps.pic_init_qp,
+            disable_deblocking_filter_idc=1 if self.cfg.disable_deblock else 0)
+        sw = write_slice_header(hdr, self.sps, self.pps)
+
+        l0, l1 = [prev_anchor], [next_anchor]
+        l0_pocs = np.array([prev_poc], np.int32)
+        l1_pocs = np.array([next_poc], np.int32)
+        col = next_anchor
+        dctx = INTER.DirectCtx(
+            spatial=True,
+            col_motion=(None if col.mot_ref0 is None else
+                        (col.mot_ref0, col.mot_mv0, col.mot_ref1,
+                         col.mot_mv1)),
+            col_refpic=(None if col.mot_ref0 is None else
+                        (col.mot_refpic0, col.mot_refpic1)),
+            col_intra_refpoc=col.own_l0_poc0, cur_poc=poc,
+            l0_pocs=l0_pocs, l1_pocs=l1_pocs)
+
+        g = MB.MBGrids(self.mbw, self.mbh)
+        m = INTER.MotionGrids(self.mbw, self.mbh)
+        Yr = np.zeros((self.mbh * 16, self.mbw * 16), np.int32)
+        Ur = np.zeros((self.mbh * 8, self.mbw * 8), np.int32)
+        Vr = np.zeros((self.mbh * 8, self.mbw * 8), np.int32)
+        lam = max(1, 1 << max(0, (qp - 12) // 6))
+
+        skip_run = 0
+        for my in range(self.mbh):
+            for mx in range(self.mbw):
+                s, is_skip = self._encode_b_mb(
+                    g, m, my, mx, qp, lam, Yp, Up, Vp, Yr, Ur, Vr,
+                    l0, l1, dctx, poc)
+                if is_skip:
+                    skip_run += 1
+                    continue
+                sw.ue(skip_run)
+                skip_run = 0
+                INTER.write_b_macroblock(sw, g, m, my, mx, 0, qp, s,
+                                         l0_pocs, l1_pocs)
+        if skip_run:
+            sw.ue(skip_run)
+        sw.rbsp_trailing_bits()
+
+        if not self.cfg.disable_deblock:
+            bs_v, bs_h = compute_bs(g, m, b_aware=True)
+            DB.deblock_frame(Yr, Ur, Vr, g.qp, bs_v, bs_h,
+                             chroma_qp_off=self.pps.chroma_qp_index_offset)
+        self.last_recon = (Yr.astype(np.uint8), Ur.astype(np.uint8),
+                           Vr.astype(np.uint8))
+        return nal.write_nal_unit(0, nal.NAL_SLICE_NON_IDR, sw.bytes())
+
+    def _pred_from_parts(self, parts, l0, l1, dctx):
+        """Per-8x8-or-larger partitions -> (predY 16x16, predU, predV 8x8),
+        uni/bi combined exactly as the decoder does (wbp 0)."""
+        x0 = (min(p[1] for p in parts)) * 4 if False else None
+        predY = np.zeros((16, 16), np.int32)
+        predU = np.zeros((8, 8), np.int32)
+        predV = np.zeros((8, 8), np.int32)
+        by0 = min(p[0] for p in parts)
+        bx0 = min(p[1] for p in parts)
+        for (by, bx, ref0, ref1, mv0, mv1) in parts:
+            w4 = h4 = 2 if len(parts) > 1 else 4
+            blks = []
+            for lst, ref, mv in ((0, ref0, mv0), (1, ref1, mv1)):
+                if ref < 0:
+                    continue
+                pic = (l0 if lst == 0 else l1)[ref]
+                pY, pU, pV = pic.padded()
+                yb = MC.mc_luma_block(pY, bx * 4, by * 4, int(mv[0]),
+                                      int(mv[1]), w4 * 4, h4 * 4)
+                ub = MC.mc_chroma_block(pU, bx * 2, by * 2, int(mv[0]),
+                                        int(mv[1]), w4 * 2, h4 * 2)
+                vb = MC.mc_chroma_block(pV, bx * 2, by * 2, int(mv[0]),
+                                        int(mv[1]), w4 * 2, h4 * 2)
+                blks.append((yb, ub, vb))
+            if len(blks) == 2:
+                yb = (blks[0][0] + blks[1][0] + 1) >> 1
+                ub = (blks[0][1] + blks[1][1] + 1) >> 1
+                vb = (blks[0][2] + blks[1][2] + 1) >> 1
+            else:
+                yb, ub, vb = blks[0]
+            ly, lx = (by - by0) * 4, (bx - bx0) * 4
+            predY[ly:ly + h4 * 4, lx:lx + w4 * 4] = yb
+            cy, cx = (by - by0) * 2, (bx - bx0) * 2
+            predU[cy:cy + h4 * 2, cx:cx + w4 * 2] = ub
+            predV[cy:cy + h4 * 2, cx:cx + w4 * 2] = vb
+        return predY, predU, predV
+
+    def _inter_residual(self, s, src, predY, Us, Vs, predU, predV,
+                        my, mx, qp):
+        """Quantized inter residual + cbp into s (shared by P/B shapes)."""
+        resid = src - predY
+        blocks = resid.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+        wall = T.np_forward_transform_4x4(blocks.reshape(16, 4, 4))
+        z = T.np_quant_4x4(wall, qp, intra=False)
+        cbp = 0
+        for i in range(16):
+            bx4, by4 = int(MB.BLK_X[i]), int(MB.BLK_Y[i])
+            zb = z[(by4 // 4) * 4 + bx4 // 4]
+            s.luma_ac[i] = raster_to_scan4x4(zb)
+            if zb.any():
+                cbp |= 1 << (i >> 2)
+        s.cbp_luma = cbp
+        for i in range(16):
+            if not (cbp & (1 << (i >> 2))):
+                s.luma_ac[i] = [0] * 16
+        any_dc = any_ac = False
+        for comp, plane_s in enumerate((Us, Vs)):
+            qpc = int(T.chroma_qp(qp, self.pps.chroma_qp_offset(comp)))
+            predC = predU if comp == 0 else predV
+            residc = plane_s[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] - predC
+            cblocks = residc.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+            wc = T.np_forward_transform_4x4(cblocks.reshape(4, 4, 4))
+            dc = wc[:, 0, 0].reshape(2, 2)
+            dch = T.hadamard_2x2(dc.astype(np.int32), np)
+            zdc = T.quant_dc(dch, qpc, np, T.QUANT_MF4x4)
+            if zdc.any():
+                any_dc = True
+            s.chroma_dc[comp] = [int(v) for v in zdc.reshape(4)]
+            zac = T.np_quant_4x4(wc, qpc, intra=False)
+            for i in range(4):
+                zb = zac[i].copy()
+                zb[0, 0] = 0
+                if zb.any():
+                    any_ac = True
+                s.chroma_ac[comp][i] = raster_to_scan4x4(zb, ac_only=True)
+        s.cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+        if s.cbp_chroma == 0:
+            for comp in range(2):
+                s.chroma_dc[comp] = [0] * 4
+                for i in range(4):
+                    s.chroma_ac[comp][i] = [0] * 15
+        elif s.cbp_chroma == 1:
+            for comp in range(2):
+                for i in range(4):
+                    s.chroma_ac[comp][i] = [0] * 15
+
+    def _encode_b_mb(self, g, m, my, mx, qp, lam, Ys, Us, Vs, Yr, Ur, Vr,
+                     l0, l1, dctx, poc):
+        from ...utils.bits import se_len
+        x0, y0 = mx * 16, my * 16
+        src = Ys[y0:y0 + 16, x0:x0 + 16]
+        by, bx = my * 4, mx * 4
+        g.mb_class[my, mx] = INTER.MB_B
+        g.slice_id[my, mx] = 0
+
+        # direct candidate (no grid writes yet)
+        dparts = INTER.direct_partitions(g, m, my, mx, 0, dctx)
+        pdY, pdU, pdV = self._pred_from_parts(dparts, l0, l1, dctx)
+        cost_d = int(np.abs(src - pdY).sum()) + lam
+
+        # per-list 16x16 ME
+        p0Y = l0[0].padded()[0]
+        p1Y = l1[0].padded()[0]
+        mvp0 = INTER.predict_mv(g, m.lst(0), by, bx, 4, 4, 0, 0)
+        mvp1 = INTER.predict_mv(g, m.lst(1), by, bx, 4, 4, 0, 0)
+        mv0, c0 = self._me_block(src, p0Y, x0, y0, 16, 16, mvp0, lam)
+        mv1, c1 = self._me_block(src, p1Y, x0, y0, 16, 16, mvp1, lam)
+        b0 = MC.mc_luma_block(p0Y, x0, y0, int(mv0[0]), int(mv0[1]), 16, 16)
+        b1 = MC.mc_luma_block(p1Y, x0, y0, int(mv1[0]), int(mv1[1]), 16, 16)
+        bi = (b0 + b1 + 1) >> 1
+        cbi = int(np.abs(src - bi).sum()) + lam * (
+            se_len(int(mv0[0] - mvp0[0])) + se_len(int(mv0[1] - mvp0[1])) +
+            se_len(int(mv1[0] - mvp1[0])) + se_len(int(mv1[1] - mvp1[1])))
+
+        best = min((cost_d, "direct"), (c0, "l0"), (c1, "l1"), (cbi, "bi"),
+                   key=lambda t: t[0])
+
+        if best[0] > 16 * 16 * 24:   # intra fallback
+            s_intra = self._encode_mb(g, my, mx, qp, lam, Ys, Us, Vs,
+                                      Yr, Ur, Vr)
+            sl = (slice(by, by + 4), slice(bx, bx + 4))
+            m.ref[sl] = -1
+            m.ref1[sl] = -1
+            m.mv[sl] = 0
+            m.mv1[sl] = 0
+            m.done[sl] = 1
+            return s_intra, False
+
+        if best[1] == "direct":
+            s = INTER.apply_direct(g, m, my, mx, 0, qp, dctx, False)
+            self._inter_residual(s, src, pdY, Us, Vs, pdU, pdV, my, mx, qp)
+            if s.cbp_luma == 0 and s.cbp_chroma == 0:
+                # B_Skip: same derivation, no residual, no syntax
+                g.nz_luma[by:by + 4, bx:bx + 4] = 0
+                g.nz_chroma[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+                s.is_skip = True
+                reconstruct_b_mb(Yr, Ur, Vr, g, my, mx, 0, s, l0, l1,
+                                 self.pps, poc, 0)
+                return s, True
+            g.qp[my, mx] = s.qp = qp
+            reconstruct_b_mb(Yr, Ur, Vr, g, my, mx, 0, s, l0, l1,
+                             self.pps, poc, 0)
+            return s, False
+
+        s = INTER.BMBSymbols()
+        s.mb_class = INTER.MB_B
+        s.qp = qp
+        if best[1] == "l0":
+            s.partitions = [INTER.InterPartition(by, bx, 4, 4, 0, mv0)]
+            predY, predU, predV = self._pred_from_parts(
+                [(by, bx, 0, -1, mv0, None)], l0, l1, dctx)
+        elif best[1] == "l1":
+            s.partitions = [INTER.InterPartition(by, bx, 4, 4, -1,
+                                                 np.zeros(2, np.int32), 0,
+                                                 mv1)]
+            predY, predU, predV = self._pred_from_parts(
+                [(by, bx, -1, 0, None, mv1)], l0, l1, dctx)
+        else:
+            s.partitions = [INTER.InterPartition(by, bx, 4, 4, 0, mv0, 0,
+                                                 mv1)]
+            predY, predU, predV = self._pred_from_parts(
+                [(by, bx, 0, 0, mv0, mv1)], l0, l1, dctx)
+        self._inter_residual(s, src, predY, Us, Vs, predU, predV, my, mx, qp)
+        g.qp[my, mx] = qp
+        reconstruct_b_mb(Yr, Ur, Vr, g, my, mx, 0, s, l0, l1, self.pps,
+                         poc, 0)
+        return s, False
 
     def _me_block(self, src, refY, x0, y0, w, h, mvp, lam):
         """Diamond integer-pel + quarter-pel refinement for a w x h block.

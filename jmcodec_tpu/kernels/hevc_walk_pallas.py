@@ -84,24 +84,20 @@ def _zorder_candidates(C: int, max_tu: int):
 
 @functools.lru_cache(maxsize=8)
 def _pack_tables(sizes):
-    """Pallas kernels may not capture array constants, so all per-mode
-    tables ride in as ONE [35, T] int32 input, statically sliced per
-    candidate size inside the kernel. Returns (table, offsets) with
-    offsets[n] = (proj, off, frac, filt) column starts and offsets['ishor']
-    for the shared ISHOR column."""
-    cols = []
-    offs = {}
-    pos = 0
+    """Pallas kernels may not capture array constants, so the per-mode
+    tables ride in as inputs: one [35, 3n+1] table per TU size
+    (proj | off | frac | filt columns) plus a shared [35, 1] ISHOR column.
+    Kept as SEPARATE inputs (not one concatenated table): Mosaic cannot
+    reshape lane-offset slices, so each table must load at lane offset 0.
+    Returns (list of np arrays, sizes)."""
+    tbls = []
     for n in sizes:
         proj, off, frac, ishor, filt = _walk_tables(n)
-        offs[n] = (pos, pos + n, pos + 2 * n, pos + 3 * n)
-        cols += [proj, off, frac, filt[:, None]]
-        pos += 3 * n + 1
-    offs['ishor'] = pos
+        tbls.append(np.concatenate(
+            [proj, off, frac, filt[:, None]], axis=1).astype(np.int32))
     _, _, _, ishor, _ = _walk_tables(sizes[0])
-    cols.append(ishor[:, None])
-    pos += 1
-    return np.concatenate(cols, axis=1).astype(np.int32), offs
+    tbls.append(ishor[:, None].astype(np.int32))
+    return tbls, sizes
 
 
 # ---------------------------------------------------------------------------
@@ -188,11 +184,12 @@ def _strong_filter(v, n):
     return strong, jnp.where(cond, 1, 0)
 
 
-def _b3(x, n):
-    """Per-lane scalar [LB] -> [LB, n, 1] (Mosaic cannot broadcast into
-    sublanes and lanes at once, so expand the sublane dim explicitly)."""
-    LB = x.shape[0]
-    return jnp.broadcast_to(x[:, None], (LB, n))[:, :, None]
+def _b3(x1, n):
+    """Per-lane scalar [LB, 1] -> [LB, n, 1] (Mosaic cannot broadcast into
+    sublanes and lanes at once, nor lower 1D->2D reshapes of computed
+    vectors — callers keep values 2D throughout)."""
+    LB = x1.shape[0]
+    return (x1 + jnp.zeros((LB, n), jnp.int32))[:, :, None]
 
 
 def _tsel(oh, t):
@@ -218,12 +215,14 @@ def _gather_lanes(v, idx, chunk=16):
 
 def _gather_rows(v, idx, chunk=4):
     """out[l, y, x] = v[l, idx[l, y] + x] for x in 0..X-1 (0 out of range).
-    v [LB, S], idx [LB, Y] -> [LB, Y, X]."""
+    v [LB, S], idx [LB, Y] -> [LB, Y, X]. The minor-dim expansion happens
+    BEFORE chunk slicing (Mosaic cannot reshape lane-offset slices)."""
     LB, S = v.shape
     Y = idx.shape[-1]
+    idn = idx[:, :, None]                    # [LB, Y, 1]
 
     def one(y0, cy, X):
-        idc = idx[:, y0:y0 + cy][:, :, None] + jax.lax.broadcasted_iota(
+        idc = idn[:, y0:y0 + cy, :] + jax.lax.broadcasted_iota(
             jnp.int32, (LB, cy, X), 2)
         sid = jax.lax.broadcasted_iota(jnp.int32, (LB, cy, X, S), 3)
         m = idc[..., None] == sid
@@ -245,21 +244,20 @@ def _rep4(a):
 # ---------------------------------------------------------------------------
 
 
-def _candidate(Fo, Zr, Rr, Tr, Mr, TB, offs, n, x0, y0, C, is_chroma,
+def _candidate(Fo, Zr, Rr, Tr, Mr, TB, ISHOR, n, x0, y0, C, is_chroma,
                strong):
     """Evaluate one TU candidate at static (x0, y0), updating Fo in VMEM.
-    Mirrors hevc_tiles._tu_candidate."""
+    Mirrors hevc_tiles._tu_candidate. TB is this size's [35, 3n+1] table
+    (proj | off | frac | filt)."""
     LB = Fo.shape[0]
     n4 = n // 4
     cx0, cy0 = x0 >> 2, y0 >> 2
     log2 = n.bit_length() - 1
     L = 4 * n + 1
-    po, oo, fo, flo = offs[n]
-    PROJ = TB[:, po:po + n]
-    OFF = TB[:, oo:oo + n]
-    FRAC = TB[:, fo:fo + n]
-    FILT = TB[:, flo:flo + 1]
-    ISHOR = TB[:, offs['ishor']:offs['ishor'] + 1]
+    PROJ = TB[:, 0:n]
+    OFF = TB[:, n:2 * n]
+    FRAC = TB[:, 2 * n:3 * n]
+    FILT = TB[:, 3 * n:3 * n + 1]
 
     tu_here = Tr[:, cy0, cx0]
     active = tu_here == log2
@@ -284,7 +282,7 @@ def _candidate(Fo, Zr, Rr, Tr, Mr, TB, offs, n, x0, y0, C, is_chroma,
         mode = Mr[:, cy0, cx0]
         mids = jax.lax.broadcasted_iota(jnp.int32, (LB, 35), 1)
         oh = jnp.where(mode[:, None] == mids, 1, 0)
-        mode_n = _b3(mode, n)               # [LB, n, 1] int32
+        mode_n = _b3(mode[:, None], n)      # [LB, n, 1] int32
 
         if not is_chroma and n > 4:
             v121 = _filter_121(vs)
@@ -319,7 +317,7 @@ def _candidate(Fo, Zr, Rr, Tr, Mr, TB, offs, n, x0, y0, C, is_chroma,
         seg = jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
         f = frac[..., None]
         ang = ((32 - f) * seg[:, :, :n] + f * seg[:, :, 1:] + 16) >> 5
-        ish_n = _b3(ishor[:, 0], n)              # [LB, n, 1] int32
+        ish_n = _b3(ishor, n)                    # [LB, n, 1] int32
         ang = jnp.where(ish_n != 0, jnp.swapaxes(ang, -1, -2), ang)
 
         # ---- planar (mode 0) ----
@@ -329,24 +327,25 @@ def _candidate(Fo, Zr, Rr, Tr, Mr, TB, offs, n, x0, y0, C, is_chroma,
         left_n = left[:, :n][:, :, None]         # [LB, n, 1]
         top_n = top[:, :n][:, None, :]           # [LB, 1, n]
         planar = ((n - 1 - xs)[:, None, :] * left_n
-                  + (xs + 1)[:, None, :] * _b3(top[:, n], n)
+                  + (xs + 1)[:, None, :] * _b3(top[:, n:n + 1], n)
                   + (n - 1 - xs)[:, :, None] * top_n
-                  + (xs + 1)[:, :, None] * _b3(left[:, n], n)
+                  + (xs + 1)[:, :, None] * _b3(left[:, n:n + 1], n)
                   + n) >> (log2 + 1)
 
         # ---- DC (mode 1), unfiltered refs ----
-        dc = (jnp.sum(vs[:, n:2 * n], axis=-1)
-              + jnp.sum(vs[:, 2 * n + 1:3 * n + 1], axis=-1)
-              + n) >> (log2 + 1)
-        dcp = jnp.broadcast_to(_b3(dc, n), (LB, n, n))
+        dc1 = (jnp.sum(vs[:, n:2 * n], axis=-1, keepdims=True)
+               + jnp.sum(vs[:, 2 * n + 1:3 * n + 1], axis=-1,
+                         keepdims=True)
+               + n) >> (log2 + 1)             # [LB, 1]
+        dcp = _b3(dc1, n) + jnp.zeros((LB, n, n), jnp.int32)
         rid = jax.lax.broadcasted_iota(jnp.int32, (LB, n, n), 1)
         cid = jax.lax.broadcasted_iota(jnp.int32, (LB, n, n), 2)
         if not is_chroma and n < 32:
             t_row = vs[:, 2 * n + 1:3 * n + 1]
             l_col = left_s[:, :n]
-            edge_t = (t_row + 3 * dc[:, None] + 2) >> 2
-            edge_l = (l_col + 3 * dc[:, None] + 2) >> 2
-            cornr = (l_col[:, 0] + 2 * dc + t_row[:, 0] + 2) >> 2
+            edge_t = (t_row + 3 * dc1 + 2) >> 2
+            edge_l = (l_col + 3 * dc1 + 2) >> 2
+            cornr = (l_col[:, 0:1] + 2 * dc1 + t_row[:, 0:1] + 2) >> 2
             dcp = jnp.where(rid == 0, edge_t[:, None, :], dcp)
             dcp = jnp.where(cid == 0, edge_l[:, :, None], dcp)
             dcp = jnp.where((rid == 0) & (cid == 0), _b3(cornr, n), dcp)
@@ -372,24 +371,26 @@ def _candidate(Fo, Zr, Rr, Tr, Mr, TB, offs, n, x0, y0, C, is_chroma,
         rec = jnp.clip(out + rblk, 0, 255)
         cur = Fo[:, y0 + 1:y0 + 1 + n, x0 + 1:x0 + 1 + n]
         Fo[:, y0 + 1:y0 + 1 + n, x0 + 1:x0 + 1 + n] = jnp.where(
-            _b3(tu_here, n) == log2, rec, cur.astype(jnp.int32)
+            _b3(tu_here[:, None], n) == log2, rec, cur.astype(jnp.int32)
         ).astype(Fo.dtype)
 
 
 def _make_kernel(C, max_tu, is_chroma, strong):
     cands = _zorder_candidates(C, max_tu)
     sizes = tuple(sorted({n for (n, _, _) in cands}, reverse=True))
-    _, offs = _pack_tables(sizes)
 
-    def kernel(F_ref, Z_ref, R_ref, T_ref, M_ref, TB_ref, out_ref):
+    def kernel(F_ref, Z_ref, R_ref, T_ref, M_ref, *rest):
+        tb_refs = rest[:len(sizes) + 1]
+        out_ref = rest[len(sizes) + 1]
         out_ref[...] = F_ref[...]
         Z = Z_ref[...]
         R = R_ref[...]
         T = T_ref[...]
         M = M_ref[...]
-        TB = TB_ref[...]
+        tbs = {n: tb_refs[i][...] for i, n in enumerate(sizes)}
+        ishor = tb_refs[len(sizes)][...]
         for (n, x0, y0) in cands:
-            _candidate(out_ref, Z, R, T, M, TB, offs, n, x0, y0,
+            _candidate(out_ref, Z, R, T, M, tbs[n], ishor, n, x0, y0,
                        C, is_chroma, strong)
     return kernel, sizes
 
@@ -399,14 +400,14 @@ def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ, fdt_name,
                lane_block, interpret):
     fdt = jnp.dtype(fdt_name)
     kernel, sizes = _make_kernel(C, max_tu, is_chroma, strong)
-    tbl_np, _ = _pack_tables(sizes)
+    tbls_np, _ = _pack_tables(sizes)
     C4 = C // 4
     grid = (B // lane_block,)
     bs = lambda shape: pl.BlockSpec(
         (lane_block,) + shape, lambda i: (i,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
-    bs_tbl = pl.BlockSpec(tbl_np.shape, lambda i: (0, 0),
-                          memory_space=pltpu.VMEM)
+    tbl_specs = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM) for t in tbls_np]
 
     import os
     vmem_mb = int(os.environ.get("JMX_PALLAS_VMEM_MB", "96"))
@@ -418,13 +419,13 @@ def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ, fdt_name,
             kernel,
             grid=grid,
             in_specs=[bs((HF, WF)), bs((HZ, WZ)), bs((C, C)),
-                      bs((C4, C4)), bs((C4, C4)), bs_tbl],
+                      bs((C4, C4)), bs((C4, C4))] + tbl_specs,
             out_specs=bs((HF, WF)),
             out_shape=jax.ShapeDtypeStruct((B, HF, WF), fdt),
             input_output_aliases={0: 0},
             compiler_params=params,
             interpret=bool(interpret),
-        )(F, Z, resid, tu, mode, jnp.asarray(tbl_np))
+        )(F, Z, resid, tu, mode, *[jnp.asarray(t) for t in tbls_np])
     return run
 
 

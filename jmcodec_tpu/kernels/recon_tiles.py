@@ -963,8 +963,9 @@ def decode_frame_symbols_inter(fs, refs, deblock=None, ref_ids=None):
     return out
 
 
-def decode_frame_symbols(fs, deblock=None):
-    """FrameSymbols -> (Y, U, V) uint8 numpy via the tile kernel."""
+def decode_frame_symbols_device(fs, deblock=None):
+    """FrameSymbols -> (Y, U, V) uint8 DEVICE arrays via the tile kernel
+    (no host sync: the session pops lazily for AsyncDepth overlap)."""
     if fs.has_pcm:
         raise NotImplementedError("PCM macroblocks take the host path")
     if deblock is None:
@@ -980,4 +981,10 @@ def decode_frame_symbols(fs, deblock=None):
         jnp.int32(fs.alpha_off), jnp.int32(fs.beta_off),
         jnp.int32(fs.chroma_qp_off), jnp.int32(fs.second_chroma_qp_off),
         deblock=deblock)
-    return tuple(np.asarray(p) for p in out)
+    return out
+
+
+def decode_frame_symbols(fs, deblock=None):
+    """FrameSymbols -> (Y, U, V) uint8 numpy via the tile kernel."""
+    return tuple(np.asarray(p)
+                 for p in decode_frame_symbols_device(fs, deblock))
