@@ -432,7 +432,8 @@ def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ, fdt_name,
 def _pick_lane_block(B, fdt):
     """Lane block size: as large as the VMEM budget allows (the walk()
     wrapper pads B up to a multiple)."""
-    cap = 64 if jnp.dtype(fdt).itemsize <= 2 else 32
+    import os
+    cap = int(os.environ.get("JMX_PALLAS_LB", "8"))
     return min(cap, max(8, _cdiv(B, 8) * 8))
 
 

@@ -84,11 +84,54 @@ def _unskew_to_frame(tiles, mys, mxs, valid, mbh, mbw, ts):
 from .recon import _pred_16_batch, _pred_chroma_batch, _pred_i4_batch, _TR_SRC
 
 
+
+# ---------------------------------------------------------------------------
+# lane-axis roll hook: the wavefront's only cross-lane op. Single device:
+# jnp.roll. Under a row-sharded shard_map (parallel/spatial.py), rolls cross
+# shard boundaries via a ppermute ring of the boundary lane (SURVEY §2.3 ③:
+# CTU-row bands per chip with halo exchange on ICI).
+# ---------------------------------------------------------------------------
+
+_LANE_AXIS = None
+
+
+class lane_axis:
+    """Trace-time context: route lane rolls through ppermute over `name`."""
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        global _LANE_AXIS
+        self._prev = _LANE_AXIS
+        _LANE_AXIS = self.name
+
+    def __exit__(self, *a):
+        global _LANE_AXIS
+        _LANE_AXIS = self._prev
+
+
+def _roll_lanes(x, k):
+    """Global roll by k (+1/-1) along the (possibly sharded) lane axis 0."""
+    ax = _LANE_AXIS
+    if ax is None:
+        return jnp.roll(x, k, axis=0)
+    n = jax.lax.axis_size(ax)
+    if k == 1:
+        prev = jax.lax.ppermute(x[-1:], ax,
+                                [(i, (i + 1) % n) for i in range(n)])
+        return jnp.concatenate([prev, x[:-1]], axis=0)
+    assert k == -1
+    nxt = jax.lax.ppermute(x[:1], ax,
+                           [(i, (i - 1) % n) for i in range(n)])
+    return jnp.concatenate([x[1:], nxt], axis=0)
+
+
 def _intra_step(carry, xs, has_inter):
     """One wavefront step of intra reconstruction (module-level so the fused
     intra+deblock scan can reuse it). Returns (carry, (Y, U, V) tiles)."""
     def roll1(x):
-        return jnp.roll(x, 1, axis=0)
+        return _roll_lanes(x, 1)
 
     if True:
         (P1y, P2y, P3y, P1u, P2u, P3u, P1v, P2v, P3v) = carry
@@ -447,7 +490,7 @@ def _deblock_tile_scan_intra(Yt, Ut, Vt, qp_t, mxs_t, mys_t, valid_t, bmax,
         (Ay, Au, Av, By, Bu, Bv, qA, qB, vA, vB) = carry
         (R, Ru, Rv, qp, mxs, mys, valid) = xs
         act = valid == 1
-        roll1 = lambda x: jnp.roll(x, 1, axis=0)
+        roll1 = lambda x: _roll_lanes(x, 1)
 
         q_left = qA
         q_top = roll1(qB)
@@ -483,7 +526,7 @@ def _deblock_tile_scan_intra(Yt, Ut, Vt, qp_t, mxs_t, mys_t, valid_t, bmax,
         Pn, Qn = _edge_h_luma(Tt[:, 12:16, :], R[:, 0:4, :], bs0, ia0, ib0, tabs)
         Tt = Tt.at[:, 12:16, :].set(Pn)
         R = R.at[:, 0:4, :].set(Qn)
-        By = jnp.roll(Tt, -1, axis=0)
+        By = _roll_lanes(Tt, -1)
         for e in (1, 2, 3):
             y = 4 * e
             Pn, Qn = _edge_h_luma(R[:, y - 4:y, :], R[:, y:y + 4, :],
@@ -523,7 +566,7 @@ def _deblock_tile_scan_intra(Yt, Ut, Vt, qp_t, mxs_t, mys_t, valid_t, bmax,
                                     ia0, ib0, tabs)
             Tc = Tc.at[:, 6:8, :].set(Pn)
             Rc = Rc.at[:, 0:2, :].set(Qn)
-            Bc = jnp.roll(Tc, -1, axis=0)
+            Bc = _roll_lanes(Tc, -1)
             Pn, Qn = _edge_h_chroma(Rc[:, 2:4, :], Rc[:, 4:6, :],
                                     bs3, iac, ibc, tabs)
             Rc = Rc.at[:, 2:4, :].set(Pn)
@@ -603,7 +646,7 @@ def _deblock_step(carry, xs, tabs, cqt, alpha_off, beta_off,
         return (qa + qb + 1) >> 1
 
     act = valid == 1
-    roll1 = lambda x: jnp.roll(x, 1, axis=0)
+    roll1 = lambda x: _roll_lanes(x, 1)
 
     q_left = qA
     q_top = roll1(qB)
@@ -639,7 +682,7 @@ def _deblock_step(carry, xs, tabs, cqt, alpha_off, beta_off,
                   lines16(bsh[:, 0]), ia0, ib0, tabs)
     Tt = Tt.at[:, 12:16, :].set(Pn)
     R = R.at[:, 0:4, :].set(Qn)
-    By = jnp.roll(Tt, -1, axis=0)
+    By = _roll_lanes(Tt, -1)
     for e in (1, 2, 3):
         y = 4 * e
         Pn, Qn = _edge_h_luma(R[:, y - 4:y, :], R[:, y:y + 4, :],
@@ -680,7 +723,7 @@ def _deblock_step(carry, xs, tabs, cqt, alpha_off, beta_off,
                     lines8(bsh[:, 0]), ia0, ib0, tabs)
         Tc = Tc.at[:, 6:8, :].set(Pn)
         Rc = Rc.at[:, 0:2, :].set(Qn)
-        Bc = jnp.roll(Tc, -1, axis=0)
+        Bc = _roll_lanes(Tc, -1)
         Pn, Qn = _edge_h_chroma(Rc[:, 2:4, :], Rc[:, 4:6, :],
                     lines8(bsh[:, 2]), iac, ibc, tabs)
         Rc = Rc.at[:, 2:4, :].set(Pn)
