@@ -235,9 +235,72 @@ def bench_h264_inter(W, H, N, reps=2):
     return best
 
 
+def bench_h264_cabac_session(W, H, N, reps=2):
+    """x264 High-profile-style CABAC stream through the PRODUCTION
+    DecoderSession (native C++ CABAC parse -> device recon, AsyncDepth
+    pipelining): the session-path fps VERDICT r3 asked to measure."""
+    from jmcodec_tpu.api.session import Codec, DecoderSession
+    from jmcodec_tpu.utils.metrics import counters
+
+    tag = f"/tmp/jmx_bench_cabac_{W}x{H}_{N}.h264"
+    if os.path.exists(tag):
+        stream = open(tag, "rb").read()
+    else:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+        from util_oracle import make_frame, oracle_encode
+        base = make_frame(W + 64, H + 64, seed=5)
+        frames = []
+        for i in range(N):
+            dy, dx = (i * 2) % 64, (i * 3) % 64
+            frames.append((base[0][dy:dy + H, dx:dx + W],
+                           base[1][dy // 2:dy // 2 + H // 2,
+                                   dx // 2:dx // 2 + W // 2],
+                           base[2][dy // 2:dy // 2 + H // 2,
+                                   dx // 2:dx // 2 + W // 2]))
+        stream = oracle_encode(frames, W, H, qp=30, gop=N,
+                               extra="cabac=1")
+    log(f"h264 cabac session stream: {len(stream)/1024:.0f} KB ({N} pics)")
+
+    def run():
+        sess = DecoderSession(codec=Codec.H264)
+        n = 0
+        pos = 0
+        while pos < len(stream):
+            take = sess.input_data(stream[pos:pos + (1 << 20)])
+            pos += take
+            while sess.get_frame() is not None:
+                n += 1
+        sess.set_eof()
+        while sess.get_frame() is not None:
+            n += 1
+        return n
+
+    before = counters.get("frames_device")
+    n = run()  # compile warmup
+    on_device = counters.get("frames_device") - before >= n
+    best = 0.0
+    for rep in range(reps):
+        t0 = time.time()
+        n = run()
+        dt = time.time() - t0
+        log(f"cabac session rep {rep}: {dt*1000:.0f} ms = {n/dt:.2f} fps "
+            f"(device={on_device})")
+        best = max(best, n / dt)
+    return best, on_device
+
+
 def main():
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tests"))
+    # persistent compile cache: the Pallas wavefront kernels take minutes
+    # to build; cache re-runs (safe on the TPU backend — the CPU-side
+    # writer crash noted in tests/conftest.py does not apply here)
+    cache = os.environ.get("JMX_XLA_CACHE", "/tmp/jmx_xla_cache")
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        import jax as _jax
+        _jax.config.update("jax_compilation_cache_dir", cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax
 
     platform = jax.devices()[0].platform
@@ -247,6 +310,7 @@ def main():
     hevc_fps, hevc_dev_fps, hevc_exact = bench_hevc(W, H, N)
     h264_fps, h264_dev_fps = bench_h264(W, H, N)
     h264_inter_fps = bench_h264_inter(W, H, N)
+    cabac_fps, cabac_on_device = bench_h264_cabac_session(W, H, N)
 
     # Roofline/MFU context (BASELINE asks "fast vs the chip", not only the
     # 60 fps line). The decode kernels are NOT MXU/HBM-bound: the intra
@@ -267,6 +331,8 @@ def main():
         "h264_1080p_intra_fps": round(h264_fps, 2),
         "h264_device_compute_fps": round(h264_dev_fps, 2),
         "h264_1080p_inter_fps": round(h264_inter_fps, 2),
+        "h264_1080p_cabac_session_fps": round(cabac_fps, 2),
+        "h264_cabac_on_device_path": cabac_on_device,
         "device_mpix_per_s": {
             "hevc": round(hevc_dev_fps * mpix, 1),
             "h264": round(h264_dev_fps * mpix, 1)},

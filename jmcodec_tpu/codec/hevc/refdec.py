@@ -317,6 +317,96 @@ class HevcRefDecoder:
         if (plan is not None and not self.plan_only and self.use_native
                 and len(slices) == 1 and hdr0.first_slice
                 and not hdr0.dependent
+                and hdr0.slice_type != I_SLICE):
+            # fast path for P/B pictures: C++ CABAC/syntax incl. the full
+            # merge/AMVP/TMVP motion derivation; Python keeps headers, the
+            # bS post-pass and DPB bookkeeping
+            from ... import native
+            hdr, rbsp, emu = slices[0]
+            try:
+                plan.record_slice(hdr, pps)
+                plan.enable_inter()
+                cur_refs = self._ref_lists(hdr, before, after)
+                no_backward = all(rp.poc <= poc for lst in cur_refs
+                                  for rp in lst)
+                pocs = []
+                for lst in cur_refs:
+                    for rp in lst:
+                        if rp.poc not in pocs:
+                            pocs.append(rp.poc)
+                slot_of = {p_: i for i, p_ in enumerate(pocs)}
+                plan.ref_pocs = pocs
+                col = None
+                has_col = 0
+                col_poc = 0
+                if hdr.temporal_mvp:
+                    col_list = 0 if hdr.collocated_from_l0 else 1
+                    if cur_refs[col_list]:
+                        crp = cur_refs[col_list][hdr.collocated_ref_idx]
+                        if crp.pred is not None:
+                            col = {"pred": crp.pred, "mv": crp.mv,
+                                   "ref_poc": crp.ref_poc,
+                                   "intra": crp.intra}
+                            has_col = 1
+                            col_poc = crp.poc
+                ictx = {
+                    "slice_type": hdr.slice_type,
+                    "num_ref": list(hdr.num_ref_idx),
+                    "max_merge": 5 - hdr.five_minus_max_num_merge_cand,
+                    "tmvp_on": int(hdr.temporal_mvp),
+                    "col_from_l0": int(hdr.collocated_from_l0),
+                    "col_ref_idx": int(hdr.collocated_ref_idx),
+                    "mvd_l1_zero": int(hdr.mvd_l1_zero),
+                    "no_backward": int(no_backward),
+                    "cur_poc": poc,
+                    "has_col": has_col, "col_poc": col_poc, "col": col,
+                    "refs": [[(rp.poc, slot_of[rp.poc]) for rp in lst]
+                             for lst in cur_refs],
+                }
+                st = native.hevc_fill_plan_inter(
+                    plan, hdr, sps, pps, rbsp,
+                    _substream_offsets(hdr, emu), ictx)
+                pic = _Picture(sps, pps, plan=plan)
+                pic.poc = poc
+                pic.cur_refs = cur_refs
+                pic.no_backward = no_backward
+                pic.slot_of = slot_of
+                pic.pred[:] = st["pred"]
+                pic.mv[:] = st["mv"]
+                pic.ref_idx[:] = st["refidx"]
+                pic.ref_poc[:] = st["ref_poc"]
+                pic.intra4[:] = st["intra4"]
+                pic.skip4[:] = st["skip4"]
+                pic.cbf4[:] = st["cbf4"]
+                pic.mot_done[:] = st["mot_done"] != 0
+                pic.tu_edge_ver[:] = st["tu_ev"] != 0
+                pic.tu_edge_hor[:] = st["tu_eh"] != 0
+                pic.pu_edge_ver[:] = st["pu_ev"] != 0
+                pic.pu_edge_hor[:] = st["pu_eh"] != 0
+                pic.finish_bs()
+                self.pic = pic
+                plan.qp_y[:] = hdr.qp
+                ch, cw = pic.bs_ver.shape
+                plan.bs_ver[:ch, :cw] = pic.bs_ver
+                plan.bs_hor[:ch, :cw] = pic.bs_hor
+                if plan.supported:
+                    ref_pixels = []
+                    for p_ in pocs:
+                        rp = self._pic_by_poc(p_)
+                        ref_pixels.append((p_, rp.y, rp.cb, rp.cr))
+                    return self.device_recon(plan, ref_pixels)
+                # parse complete but outside device scope (huge MVs):
+                # host re-decode below keeps correctness
+            except NotImplementedError:
+                pass
+            from .plan import HevcFramePlan
+            plan = HevcFramePlan.create(sps)   # dirty tensors: rebuild
+            plan.poc = poc
+            plan.is_idr = bool(hdr0.is_idr)
+            plan.enable_inter()
+        if (plan is not None and not self.plan_only and self.use_native
+                and len(slices) == 1 and hdr0.first_slice
+                and not hdr0.dependent
                 and hdr0.slice_type == I_SLICE):
             # fast path: C++ CABAC/syntax parse straight into the plan
             # tensors, Python keeps only headers + DPB bookkeeping

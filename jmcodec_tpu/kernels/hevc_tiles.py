@@ -492,6 +492,9 @@ def _make_walk(C: int, max_tu: int, is_chroma: bool, strong: bool,
     static slices (1080p all-intra: 0.28 fps traced vs the static unroll;
     see bench history). Compile time pays for it once per geometry."""
     T = min(C, max_tu)
+    # the top-slot z-order below is only correct for nt = C//T <= 2
+    # (ADVICE r3: fail loudly if a future geometry breaks the layout)
+    assert C // T <= 2, (C, T)
 
     def walk(F, Z, resid, tu_t, mode_t, idx=None):
         def level(sz):
@@ -544,6 +547,7 @@ def _zorder_candidates(C: int, max_tu: int):
     visits — the spec's TU quadtree order (every dependency precedes its
     reader)."""
     T = min(C, max_tu)
+    assert C // T <= 2, (C, T)
     cands = []
 
     def level(sz, x0, y0):

@@ -375,9 +375,25 @@ def _candidate(Fo, Zr, Rr, Tr, Mr, TB, ISHOR, n, x0, y0, C, is_chroma,
         ).astype(Fo.dtype)
 
 
-def _make_kernel(C, max_tu, is_chroma, strong):
+def _candidate_groups(C, max_tu):
+    """Split the z-order walk at the top-level slots: Mosaic compile time
+    grows superlinearly with kernel size (340 candidates measured >15 min,
+    105 in 28 s at LB=8), and the per-quadrant subtrees are contiguous
+    z-order runs, so chaining one pallas_call per subtree preserves the
+    exact candidate order at ~4x smaller kernels."""
     cands = _zorder_candidates(C, max_tu)
-    sizes = tuple(sorted({n for (n, _, _) in cands}, reverse=True))
+    T = min(C, max_tu)
+    nt = C // T
+    if nt == 1:
+        return [cands]
+    per = len(cands) // (nt * nt)
+    return [cands[i * per:(i + 1) * per] for i in range(nt * nt)]
+
+
+def _make_kernel(C, max_tu, is_chroma, strong, group: int):
+    cands = _candidate_groups(C, max_tu)[group]
+    sizes = tuple(sorted({n for (n, _, _) in
+                          _zorder_candidates(C, max_tu)}, reverse=True))
 
     def kernel(F_ref, Z_ref, R_ref, T_ref, M_ref, *rest):
         tb_refs = rest[:len(sizes) + 1]
@@ -395,11 +411,11 @@ def _make_kernel(C, max_tu, is_chroma, strong):
     return kernel, sizes
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=64)
 def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ, fdt_name,
-               lane_block, interpret):
+               lane_block, interpret, group):
     fdt = jnp.dtype(fdt_name)
-    kernel, sizes = _make_kernel(C, max_tu, is_chroma, strong)
+    kernel, sizes = _make_kernel(C, max_tu, is_chroma, strong, group)
     tbls_np, _ = _pack_tables(sizes)
     C4 = C // 4
     grid = (B // lane_block,)
@@ -453,9 +469,15 @@ def make_pallas_walk(C: int, max_tu: int, is_chroma: bool, strong: bool):
                 [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
             F, Z, resid, tu_t, mode_t = map(
                 zpad, (F, Z, resid, tu_t, mode_t))
-        run = _walk_call(C, max_tu, is_chroma, strong, B + pad, HF, WF,
-                         HZ, WZ, F.dtype.name, lb, interpret)
-        out = run(F, Z.astype(jnp.int32), resid.astype(jnp.int32),
-                  tu_t.astype(jnp.int32), mode_t.astype(jnp.int32))
+        Zi = Z.astype(jnp.int32)
+        Ri = resid.astype(jnp.int32)
+        Ti = tu_t.astype(jnp.int32)
+        Mi = mode_t.astype(jnp.int32)
+        n_groups = len(_candidate_groups(C, max_tu))
+        out = F
+        for grp in range(n_groups):
+            run = _walk_call(C, max_tu, is_chroma, strong, B + pad, HF, WF,
+                             HZ, WZ, F.dtype.name, lb, interpret, grp)
+            out = run(out, Zi, Ri, Ti, Mi)
         return out[:B] if pad else out
     return walk

@@ -79,6 +79,7 @@ def get_lib():
             lib.jmx_parse_i_slice.restype = ctypes.c_int
             lib.jmx_parse_cabac_slice.restype = ctypes.c_int
             lib.jmx_hevc_parse_i_slice.restype = ctypes.c_int
+            lib.jmx_hevc_parse_pb_slice.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -182,6 +183,112 @@ def hevc_fill_plan(plan, hdr, sps, pps, rbsp: bytes,
         raise HevcNativeUnsupported(f"native HEVC parser: code {n}")
     if n <= 0:
         raise ValueError(f"native HEVC slice parse error {n}")
+
+
+def hevc_fill_plan_inter(plan, hdr, sps, pps, rbsp: bytes, substream_rbsp,
+                         ictx) -> dict:
+    """Fill an inter (P/B) HevcFramePlan natively. ictx: dict with the
+    slice's motion context (ref lists, TMVP collocated picture arrays).
+    Returns the parse-state cell grids the caller feeds into finish_bs and
+    the DPB (pred/mv/ref_poc/intra4/cbf4/edges).
+
+    Raises HevcNativeUnsupported outside native scope, ValueError on a
+    corrupt stream. A return code of -40 (motion beyond the device MC pad)
+    sets plan.supported = False but still returns complete state."""
+    lib = get_lib()
+    if lib is None:
+        raise HevcNativeUnsupported("native library unavailable")
+    if sps.pcm_enabled:
+        raise HevcNativeUnsupported("PCM")
+    if pps.cu_qp_delta_enabled:
+        raise HevcNativeUnsupported("cu_qp_delta")
+    if hdr.wp is not None:
+        raise HevcNativeUnsupported("weighted prediction (host path)")
+    buf = np.frombuffer(rbsp, np.uint8)
+    iparams = np.array([
+        sps.pic_width, sps.pic_height, sps.log2_ctb, sps.log2_min_cb,
+        sps.log2_min_tb, sps.log2_max_tb,
+        sps.max_transform_hierarchy_depth_intra,
+        hdr.qp, hdr.init_type, hdr.sao_luma, hdr.sao_chroma,
+        pps.entropy_coding_sync_enabled, pps.sign_data_hiding,
+        pps.transform_skip_enabled, pps.transquant_bypass_enabled,
+        sps.pcm_enabled, hdr.segment_address, len(substream_rbsp),
+    ], np.int32)
+    ip2 = np.array([
+        ictx["slice_type"], ictx["num_ref"][0], ictx["num_ref"][1],
+        ictx["max_merge"], ictx["tmvp_on"], ictx["col_from_l0"],
+        ictx["col_ref_idx"], ictx["mvd_l1_zero"], ictx["no_backward"],
+        ictx["cur_poc"], sps.max_transform_hierarchy_depth_inter,
+        sps.amp_enabled, ictx["has_col"], ictx["col_poc"],
+    ], np.int32)
+    ref_poc = np.zeros((2, 16), np.int32)
+    ref_slot = np.zeros((2, 16), np.int32)
+    for lx in (0, 1):
+        for k, (pc, sl) in enumerate(ictx["refs"][lx][:16]):
+            ref_poc[lx, k] = pc
+            ref_slot[lx, k] = sl
+    subs = np.asarray(substream_rbsp or [0], np.int64)
+    cw = (sps.pic_width + 3) // 4
+    ch = (sps.pic_height + 3) // 4
+    cell = (ch, cw)
+    z8 = lambda *s: np.zeros(s, np.uint8)
+    z32 = lambda *s: np.zeros(s, np.int32)
+    st = {
+        "pred": z8(2, *cell), "mv": z32(2, *cell, 2),
+        "refidx": np.full((2,) + cell, -1, np.int32),
+        "ref_poc": z32(2, *cell), "mot_done": z8(*cell),
+        "intra4": z8(*cell), "skip4": z8(*cell), "cbf4": z8(*cell),
+        "tu_ev": z8(*cell), "tu_eh": z8(*cell),
+        "pu_ev": z8(*cell), "pu_eh": z8(*cell),
+    }
+    col = ictx.get("col")
+    if col is None:
+        cz8 = z8(*cell)
+        cz32 = z32(*cell, 2)
+        czp = z32(*cell)
+        colp = (cz8, cz8, cz8, cz32, cz32, czp, czp)
+    else:
+        colp = (np.ascontiguousarray(col["pred"][0]),
+                np.ascontiguousarray(col["pred"][1]),
+                np.ascontiguousarray(col["intra"]),
+                np.ascontiguousarray(col["mv"][0]),
+                np.ascontiguousarray(col["mv"][1]),
+                np.ascontiguousarray(col["ref_poc"][0]),
+                np.ascontiguousarray(col["ref_poc"][1]))
+    scratch = np.zeros(5 * cw * ch, np.uint8)
+    n = lib.jmx_hevc_parse_pb_slice(
+        _ptr(buf), ctypes.c_int64(len(rbsp)),
+        ctypes.c_int64(hdr.data_bitpos),
+        _ptr(iparams), _ptr(subs),
+        _ptr(plan.coeff_y), _ptr(plan.tu_log2_y), _ptr(plan.mode_y),
+        _ptr(plan.zidx_y), _ptr(plan.qp_y),
+        _ptr(plan.coeff_cb), _ptr(plan.coeff_cr),
+        _ptr(plan.tu_log2_c), _ptr(plan.mode_c), _ptr(plan.zidx_c),
+        _ptr(plan.bs_ver), _ptr(plan.bs_hor),
+        _ptr(plan.sao_type), _ptr(plan.sao_offsets), _ptr(plan.sao_band),
+        _ptr(plan.sao_eo), _ptr(scratch),
+        _ptr(ip2), _ptr(ref_poc), _ptr(ref_slot),
+        *[_ptr(a) for a in colp],
+        _ptr(st["pred"][0]), _ptr(st["pred"][1]),
+        _ptr(st["mv"][0]), _ptr(st["mv"][1]),
+        _ptr(st["refidx"][0]), _ptr(st["refidx"][1]),
+        _ptr(st["ref_poc"][0]), _ptr(st["ref_poc"][1]),
+        _ptr(st["mot_done"]), _ptr(st["intra4"]), _ptr(st["skip4"]),
+        _ptr(st["cbf4"]),
+        _ptr(st["tu_ev"]), _ptr(st["tu_eh"]),
+        _ptr(st["pu_ev"]), _ptr(st["pu_eh"]),
+        _ptr(plan.inter4), _ptr(plan.mv), _ptr(plan.ref_slot),
+        _ptr(plan.pred_fl), _ptr(plan.tu_log2_inter_y),
+        _ptr(plan.tu_log2_inter_c))
+    if n == -40:
+        plan.supported = False
+        plan.reason = "MV beyond device MC pad"
+        return st
+    if n in (-2, -3, -4, -7):
+        raise HevcNativeUnsupported(f"native HEVC parser: code {n}")
+    if n <= 0:
+        raise ValueError(f"native HEVC pb slice parse error {n}")
+    return st
 
 
 def hevc_available() -> bool:

@@ -218,9 +218,61 @@ struct Ctx {
     int cu_cmode;
     int cu_part_nxn;
     int cu_x0, cu_y0, cu_log2;
+    int cu_is_inter;
+    struct InterCtx *it;   /* NULL on the intra-only entry */
     Cabac c;
     int err;
 };
+
+/* ---- inter slice context (P/B slices, 7.3.8.5-7.3.8.6) ----------------- */
+
+struct InterCtx {
+    int slice_type;          /* 0 B, 1 P */
+    int num_ref[2];
+    int max_merge;
+    int tmvp_on, col_from_l0, col_ref_idx, mvd_l1_zero, no_backward;
+    int cur_poc;
+    int max_tdepth_inter, amp_enabled;
+    int32_t ref_poc_l[2][16];
+    int32_t ref_slot_l[2][16];
+    /* collocated picture motion (coded cell grid [ch][cw]) */
+    const uint8_t *col_pred0, *col_pred1, *col_intra;
+    const int32_t *col_mv0, *col_mv1;         /* [..][2] */
+    const int32_t *col_refpoc0, *col_refpoc1;
+    int col_poc, has_col;
+    /* current-picture motion/deblock state (coded cell grid, outputs) */
+    uint8_t *pred0, *pred1;
+    int32_t *mv0, *mv1;                       /* [..][2] */
+    int32_t *refidx0, *refidx1;
+    int32_t *refpoc0, *refpoc1;
+    uint8_t *mot_done, *intra4, *skip4, *cbf4;
+    uint8_t *tu_ev, *tu_eh, *pu_ev, *pu_eh;
+    /* plan outputs (padded cell grid [Hc][Wc]) */
+    uint8_t *inter4;
+    int32_t *pmv;            /* [2][Hc][Wc][2] */
+    int32_t *ref_slot_o;     /* [2][Hc][Wc] */
+    uint8_t *pred_fl;        /* [2][Hc][Wc] */
+    int32_t *tu_inter_y;     /* [Hc][Wc] */
+    int32_t *tu_inter_c;     /* [Hc/2][Wc/2] */
+    int mv_overflow;         /* |mv| beyond the device MC pad budget */
+};
+
+struct MotCand {
+    int pred;                /* bit0 L0, bit1 L1 */
+    int mv[2][2];
+    int ref_idx[2];
+};
+
+static inline int same_motion(const MotCand &a, const MotCand &b) {
+    if (a.pred != b.pred) return 0;
+    for (int lx = 0; lx < 2; lx++)
+        if (a.pred & (1 << lx)) {
+            if (a.mv[lx][0] != b.mv[lx][0] ||
+                a.mv[lx][1] != b.mv[lx][1] ||
+                a.ref_idx[lx] != b.ref_idx[lx]) return 0;
+        }
+    return 1;
+}
 
 static inline void fail(Ctx *t, int e) { if (!t->err) t->err = e; }
 
@@ -448,6 +500,490 @@ static void record_chroma_tu(Ctx *t, int xc, int yc, int n, int mode) {
     fill_cells(t->zidx_c, wc2, cx, cy, nc, t->zctr++);
 }
 
+/* ---- inter motion derivation (8.5.3.2), mirrors refdec.py ------------- */
+
+static const int COMB_L0[12] = {0, 1, 0, 2, 1, 2, 0, 3, 1, 3, 2, 3};
+static const int COMB_L1[12] = {1, 0, 2, 0, 2, 1, 3, 0, 3, 1, 3, 2};
+enum { PRED_L0 = 1, PRED_L1 = 2, PRED_BI = 3 };
+enum { PART_2Nx2N = 0, PART_2NxN, PART_Nx2N, PART_NxN,
+       PART_2NxnU, PART_2NxnD, PART_nLx2N, PART_nRx2N };
+
+static inline int trunc_div(int a, int b) {
+    int q = (a < 0 ? -a : a) / (b < 0 ? -b : b);
+    return ((a < 0) != (b < 0)) ? -q : q;
+}
+
+static void scale_mv(int mv[2], int tb, int td) {
+    if (td > 127) td = 127; if (td < -128) td = -128;
+    if (tb > 127) tb = 127; if (tb < -128) tb = -128;
+    int tx = trunc_div(16384 + ((td < 0 ? -td : td) >> 1), td);
+    int dsf = (tb * tx + 32) >> 6;
+    if (dsf > 4095) dsf = 4095; if (dsf < -4096) dsf = -4096;
+    for (int k = 0; k < 2; k++) {
+        long long v = (long long)dsf * mv[k];
+        int s = v < 0 ? -1 : 1;
+        long long av = v < 0 ? -v : v;
+        long long out = s * ((av + 127) >> 8);
+        if (out > 32767) out = 32767; if (out < -32768) out = -32768;
+        mv[k] = (int)out;
+    }
+}
+
+static inline int wrap16(int v) {
+    return (int)(int16_t)(uint16_t)(v & 0xFFFF);
+}
+
+static inline int pb_avail(Ctx *t, int x, int y) {
+    if (x < 0 || y < 0 || x >= t->w || y >= t->h) return 0;
+    int cx = x >> 2, cy = y >> 2;
+    InterCtx *it = t->it;
+    return it->mot_done[cy * t->cw + cx] && !it->intra4[cy * t->cw + cx];
+}
+
+static void cell_motion(Ctx *t, int cx, int cy, MotCand *m) {
+    InterCtx *it = t->it;
+    int64_t i = (int64_t)cy * t->cw + cx;
+    m->pred = 0;
+    m->mv[0][0] = m->mv[0][1] = m->mv[1][0] = m->mv[1][1] = 0;
+    m->ref_idx[0] = m->ref_idx[1] = -1;
+    if (it->pred0[i]) {
+        m->pred |= 1;
+        m->mv[0][0] = it->mv0[i * 2]; m->mv[0][1] = it->mv0[i * 2 + 1];
+        m->ref_idx[0] = it->refidx0[i];
+    }
+    if (it->pred1[i]) {
+        m->pred |= 2;
+        m->mv[1][0] = it->mv1[i * 2]; m->mv[1][1] = it->mv1[i * 2 + 1];
+        m->ref_idx[1] = it->refidx1[i];
+    }
+}
+
+/* TMVP (8.5.3.2.7/8). Returns 1 + fills mv when available. */
+static int tmvp(Ctx *t, int xcb, int ycb, int xp, int yp, int w, int h,
+                int lx, int ref_idx, int mv[2]) {
+    InterCtx *it = t->it;
+    if (!it->has_col) return 0;
+    int target_poc = it->ref_poc_l[lx][ref_idx];
+    for (int which = 0; which < 2; which++) {
+        int xc, yc;
+        if (which == 0) {
+            xc = xp + w; yc = yp + h;
+            if ((ycb >> t->log2_ctb) != (yc >> t->log2_ctb)) continue;
+            if (xc >= t->w || yc >= t->h) continue;
+        } else {
+            xc = xp + (w >> 1); yc = yp + (h >> 1);
+        }
+        int cx = ((xc >> 4) << 4) >> 2, cy = ((yc >> 4) << 4) >> 2;
+        if (cy >= t->ch || cx >= t->cw) continue;
+        int64_t i = (int64_t)cy * t->cw + cx;
+        if (it->col_intra[i]) continue;
+        int p0 = it->col_pred0[i] != 0, p1 = it->col_pred1[i] != 0;
+        if (!p0 && !p1) continue;
+        int use;
+        if (!p0) use = 1;
+        else if (!p1) use = 0;
+        else if (it->no_backward) use = lx;
+        else use = it->col_from_l0 ? 1 : 0;
+        const int32_t *cmv = use ? it->col_mv1 : it->col_mv0;
+        const int32_t *crp = use ? it->col_refpoc1 : it->col_refpoc0;
+        mv[0] = cmv[i * 2]; mv[1] = cmv[i * 2 + 1];
+        int col_diff = it->col_poc - crp[i];
+        int cur_diff = it->cur_poc - target_poc;
+        if (col_diff != cur_diff) scale_mv(mv, cur_diff, col_diff);
+        return 1;
+    }
+    return 0;
+}
+
+static void merge_cands(Ctx *t, int xcb, int ycb, int ncb, int xp, int yp,
+                        int w, int h, int part_idx, int part, int want,
+                        MotCand *out) {
+    InterCtx *it = t->it;
+    int is_b = it->slice_type == 0;
+    MotCand cands[8];
+    int n = 0;
+    int max_merge = it->max_merge;
+#define DONE() (n > want || n >= max_merge)
+    MotCand a1m, b1m;
+    int have_a1 = 0, have_b1 = 0;
+    if (!((part == PART_Nx2N || part == PART_nLx2N || part == PART_nRx2N)
+          && part_idx == 1)) {
+        if (pb_avail(t, xp - 1, yp + h - 1)) {
+            cell_motion(t, (xp - 1) >> 2, (yp + h - 1) >> 2, &a1m);
+            have_a1 = 1;
+            cands[n++] = a1m;
+        }
+    }
+    if (!DONE() && !((part == PART_2NxN || part == PART_2NxnU ||
+                      part == PART_2NxnD) && part_idx == 1)) {
+        if (pb_avail(t, xp + w - 1, yp - 1)) {
+            cell_motion(t, (xp + w - 1) >> 2, (yp - 1) >> 2, &b1m);
+            have_b1 = 1;
+            if (!have_a1 || !same_motion(b1m, a1m)) cands[n++] = b1m;
+        }
+    }
+    if (!DONE() && pb_avail(t, xp + w, yp - 1)) {
+        MotCand b0;
+        cell_motion(t, (xp + w) >> 2, (yp - 1) >> 2, &b0);
+        if (!have_b1 || !same_motion(b0, b1m)) cands[n++] = b0;
+    }
+    if (!DONE() && pb_avail(t, xp - 1, yp + h)) {
+        MotCand a0;
+        cell_motion(t, (xp - 1) >> 2, (yp + h) >> 2, &a0);
+        if (!have_a1 || !same_motion(a0, a1m)) cands[n++] = a0;
+    }
+    if (!DONE() && n < 4 && pb_avail(t, xp - 1, yp - 1)) {
+        MotCand b2;
+        cell_motion(t, (xp - 1) >> 2, (yp - 1) >> 2, &b2);
+        if ((!have_a1 || !same_motion(b2, a1m)) &&
+            (!have_b1 || !same_motion(b2, b1m))) cands[n++] = b2;
+    }
+    if (!DONE() && it->tmvp_on) {
+        MotCand tm;
+        tm.pred = 0;
+        tm.mv[0][0] = tm.mv[0][1] = tm.mv[1][0] = tm.mv[1][1] = 0;
+        tm.ref_idx[0] = tm.ref_idx[1] = -1;
+        int mv[2];
+        if (tmvp(t, xcb, ycb, xp, yp, w, h, 0, 0, mv)) {
+            tm.pred |= 1; tm.mv[0][0] = mv[0]; tm.mv[0][1] = mv[1];
+            tm.ref_idx[0] = 0;
+        }
+        if (is_b && tmvp(t, xcb, ycb, xp, yp, w, h, 1, 0, mv)) {
+            tm.pred |= 2; tm.mv[1][0] = mv[0]; tm.mv[1][1] = mv[1];
+            tm.ref_idx[1] = 0;
+        }
+        if (tm.pred) cands[n++] = tm;
+    }
+    if (is_b && !DONE() && n > 1) {
+        int norig = n;
+        for (int k = 0; k < norig * (norig - 1) && !DONE(); k++) {
+            int i0 = COMB_L0[k], i1 = COMB_L1[k];
+            if (i0 >= norig || i1 >= norig) break;
+            const MotCand &c0 = cands[i0], &c1 = cands[i1];
+            if (!(c0.pred & 1) || !(c1.pred & 2)) continue;
+            int p0 = it->ref_poc_l[0][c0.ref_idx[0]];
+            int p1 = it->ref_poc_l[1][c1.ref_idx[1]];
+            if (p0 == p1 && c0.mv[0][0] == c1.mv[1][0] &&
+                c0.mv[0][1] == c1.mv[1][1]) continue;
+            MotCand m;
+            m.pred = PRED_BI;
+            m.mv[0][0] = c0.mv[0][0]; m.mv[0][1] = c0.mv[0][1];
+            m.mv[1][0] = c1.mv[1][0]; m.mv[1][1] = c1.mv[1][1];
+            m.ref_idx[0] = c0.ref_idx[0]; m.ref_idx[1] = c1.ref_idx[1];
+            cands[n++] = m;
+        }
+    }
+    int nrefs = is_b ? (it->num_ref[0] < it->num_ref[1] ? it->num_ref[0]
+                                                        : it->num_ref[1])
+                     : it->num_ref[0];
+    int zidx = 0;
+    while (!DONE()) {
+        MotCand m;
+        int r = zidx < nrefs ? zidx : 0;
+        m.pred = is_b ? PRED_BI : PRED_L0;
+        m.mv[0][0] = m.mv[0][1] = m.mv[1][0] = m.mv[1][1] = 0;
+        m.ref_idx[0] = r;
+        m.ref_idx[1] = is_b ? r : -1;
+        cands[n++] = m;
+        zidx++;
+    }
+#undef DONE
+    *out = cands[want];
+}
+
+/* AMVP (8.5.3.2.6): fills mvp[2][2]. */
+static void amvp(Ctx *t, int xcb, int ycb, int ncb, int xp, int yp,
+                 int w, int h, int part_idx, int part, int lx, int ref_idx,
+                 int mvp_out[2][2]) {
+    InterCtx *it = t->it;
+    int target_poc = it->ref_poc_l[lx][ref_idx];
+
+    /* same-ref-poc mv at cell, checking lx then 1-lx */
+    auto same_ref_mv = [&](int x, int y, int mv[2]) -> int {
+        int cx = x >> 2, cy = y >> 2;
+        int64_t i = (int64_t)cy * t->cw + cx;
+        const uint8_t *pr[2] = {it->pred0, it->pred1};
+        const int32_t *mvs[2] = {it->mv0, it->mv1};
+        const int32_t *rps[2] = {it->refpoc0, it->refpoc1};
+        for (int pass = 0; pass < 2; pass++) {
+            int ly = pass == 0 ? lx : 1 - lx;
+            if (pr[ly][i] && rps[ly][i] == target_poc) {
+                mv[0] = mvs[ly][i * 2]; mv[1] = mvs[ly][i * 2 + 1];
+                return 1;
+            }
+        }
+        return 0;
+    };
+    auto scaled = [&](int x, int y, int mv[2]) -> int {
+        int cx = x >> 2, cy = y >> 2;
+        int64_t i = (int64_t)cy * t->cw + cx;
+        const uint8_t *pr[2] = {it->pred0, it->pred1};
+        const int32_t *mvs[2] = {it->mv0, it->mv1};
+        const int32_t *rps[2] = {it->refpoc0, it->refpoc1};
+        for (int pass = 0; pass < 2; pass++) {
+            int ly = pass == 0 ? lx : 1 - lx;
+            if (pr[ly][i]) {
+                mv[0] = mvs[ly][i * 2]; mv[1] = mvs[ly][i * 2 + 1];
+                int col_diff = it->cur_poc - rps[ly][i];
+                int cur_diff = it->cur_poc - target_poc;
+                if (col_diff != cur_diff) scale_mv(mv, cur_diff, col_diff);
+                return 1;
+            }
+        }
+        return 0;
+    };
+
+    int pa[2][2] = {{xp - 1, yp + h}, {xp - 1, yp + h - 1}};
+    int avail_p[2] = {pb_avail(t, pa[0][0], pa[0][1]),
+                      pb_avail(t, pa[1][0], pa[1][1])};
+    int is_scaled = avail_p[0] || avail_p[1];
+    int mv_a[2], avail_a = 0;
+    for (int k = 0; k < 2 && !avail_a; k++)
+        if (avail_p[k] && same_ref_mv(pa[k][0], pa[k][1], mv_a)) avail_a = 1;
+    if (!avail_a)
+        for (int k = 0; k < 2 && !avail_a; k++)
+            if (avail_p[k] && scaled(pa[k][0], pa[k][1], mv_a)) avail_a = 1;
+
+    int pbs[3][2] = {{xp + w, yp - 1}, {xp + w - 1, yp - 1},
+                     {xp - 1, yp - 1}};
+    int mv_b[2], avail_b = 0;
+    for (int k = 0; k < 3 && !avail_b; k++)
+        if (pb_avail(t, pbs[k][0], pbs[k][1]) &&
+            same_ref_mv(pbs[k][0], pbs[k][1], mv_b)) avail_b = 1;
+    if (!is_scaled) {
+        avail_a = avail_b;
+        mv_a[0] = mv_b[0]; mv_a[1] = mv_b[1];
+        avail_b = 0;
+        for (int k = 0; k < 3 && !avail_b; k++)
+            if (pb_avail(t, pbs[k][0], pbs[k][1]) &&
+                scaled(pbs[k][0], pbs[k][1], mv_b)) avail_b = 1;
+    }
+    int nout = 0;
+    if (avail_a) {
+        mvp_out[nout][0] = mv_a[0]; mvp_out[nout][1] = mv_a[1]; nout++;
+    }
+    if (avail_b && (!avail_a || mv_b[0] != mv_a[0] || mv_b[1] != mv_a[1])) {
+        mvp_out[nout][0] = mv_b[0]; mvp_out[nout][1] = mv_b[1]; nout++;
+    }
+    if (nout < 2 && it->tmvp_on) {
+        int mv[2];
+        if (tmvp(t, xcb, ycb, xp, yp, w, h, lx, ref_idx, mv)) {
+            mvp_out[nout][0] = mv[0]; mvp_out[nout][1] = mv[1]; nout++;
+        }
+    }
+    while (nout < 2) {
+        mvp_out[nout][0] = 0; mvp_out[nout][1] = 0; nout++;
+    }
+}
+
+static int eg_bypass_k(Cabac &c, int k) {
+    int prefix = 0;
+    while (c.bypass()) { prefix++; if (prefix > 30) return 0; }
+    int suf = 0;
+    for (int i = 0; i < prefix + k; i++) suf = (suf << 1) | c.bypass();
+    return (((1 << prefix) - 1) << k) + suf;
+}
+
+static void mvd_coding(Ctx *t, int out[2]) {
+    Cabac &c = t->c;
+    int g0x = c.decode(CTX_ABS_MVD_GREATER0);
+    int g0y = c.decode(CTX_ABS_MVD_GREATER0);
+    int g1x = g0x ? c.decode(CTX_ABS_MVD_GREATER1 + 1) : 0;
+    int g1y = g0y ? c.decode(CTX_ABS_MVD_GREATER1 + 1) : 0;
+    int g0[2] = {g0x, g0y}, g1[2] = {g1x, g1y};
+    for (int k = 0; k < 2; k++) {
+        if (!g0[k]) { out[k] = 0; continue; }
+        int v = 1;
+        if (g1[k]) v = 2 + eg_bypass_k(c, 1);
+        out[k] = c.bypass() ? -v : v;
+    }
+}
+
+/* prediction unit (7.3.8.6): parse + derive motion + record. Returns
+ * merge_flag of the PU. */
+static int prediction_unit(Ctx *t, int xcb, int ycb, int ncb, int xp,
+                           int yp, int w, int h, int part_idx, int part,
+                           int skip) {
+    Cabac &c = t->c;
+    InterCtx *it = t->it;
+    int is_b = it->slice_type == 0;
+    int merge = 1;
+    int pred = 0, mv[2][2] = {{0, 0}, {0, 0}}, ref_idx[2] = {-1, -1};
+    if (!skip) merge = c.decode(CTX_MERGE_FLAG);
+    if (merge) {
+        int midx = 0;
+        if (it->max_merge > 1) {
+            if (c.decode(CTX_MERGE_IDX)) {
+                midx = 1;
+                while (midx < it->max_merge - 1 && c.bypass()) midx++;
+            }
+        }
+        MotCand cand;
+        merge_cands(t, xcb, ycb, ncb, xp, yp, w, h, part_idx, part, midx,
+                    &cand);
+        pred = cand.pred;
+        for (int lx = 0; lx < 2; lx++) {
+            mv[lx][0] = cand.mv[lx][0]; mv[lx][1] = cand.mv[lx][1];
+            ref_idx[lx] = cand.ref_idx[lx];
+        }
+        if (pred == PRED_BI && w + h == 12) {
+            pred = PRED_L0;
+            ref_idx[1] = -1;
+        }
+    } else {
+        if (is_b) {
+            if (w + h != 12) {
+                int depth = t->ct_depth[(yp >> 2) * t->cw + (xp >> 2)];
+                if (c.decode(CTX_INTER_PRED_IDC + depth)) pred = PRED_BI;
+                else pred = c.decode(CTX_INTER_PRED_IDC + 4) ? PRED_L1
+                                                             : PRED_L0;
+            } else {
+                pred = c.decode(CTX_INTER_PRED_IDC + 4) ? PRED_L1 : PRED_L0;
+            }
+        } else {
+            pred = PRED_L0;
+        }
+        for (int lx = 0; lx < 2; lx++) {
+            if (!(pred & (1 << lx))) continue;
+            int nref = it->num_ref[lx];
+            int ridx = 0;
+            if (nref > 1) {
+                if (c.decode(CTX_REF_IDX_L0)) {
+                    ridx = 1;
+                    if (nref > 2 && c.decode(CTX_REF_IDX_L0 + 1)) {
+                        ridx = 2;
+                        while (ridx < nref - 1 && c.bypass()) ridx++;
+                    }
+                }
+            }
+            ref_idx[lx] = ridx;
+            int mvd[2] = {0, 0};
+            if (!(lx == 1 && it->mvd_l1_zero && pred == PRED_BI))
+                mvd_coding(t, mvd);
+            int mvp_flag = c.decode(CTX_MVP_LX_FLAG);
+            int mvps[2][2];
+            amvp(t, xcb, ycb, ncb, xp, yp, w, h, part_idx, part, lx, ridx,
+                 mvps);
+            mv[lx][0] = wrap16(mvps[mvp_flag][0] + mvd[0]);
+            mv[lx][1] = wrap16(mvps[mvp_flag][1] + mvd[1]);
+        }
+    }
+    /* store motion + record the plan PU */
+    int cx0 = xp >> 2, cy0 = yp >> 2, cw4 = w >> 2, ch4 = h >> 2;
+    for (int cy = cy0; cy < cy0 + ch4; cy++)
+        for (int cx = cx0; cx < cx0 + cw4; cx++) {
+            int64_t i = (int64_t)cy * t->cw + cx;
+            it->pred0[i] = (pred & 1) != 0;
+            it->pred1[i] = (pred & 2) != 0;
+            it->mv0[i * 2] = (pred & 1) ? mv[0][0] : 0;
+            it->mv0[i * 2 + 1] = (pred & 1) ? mv[0][1] : 0;
+            it->mv1[i * 2] = (pred & 2) ? mv[1][0] : 0;
+            it->mv1[i * 2 + 1] = (pred & 2) ? mv[1][1] : 0;
+            it->refidx0[i] = (pred & 1) ? ref_idx[0] : -1;
+            it->refidx1[i] = (pred & 2) ? ref_idx[1] : -1;
+            it->refpoc0[i] = (pred & 1) ? it->ref_poc_l[0][ref_idx[0]] : 0;
+            it->refpoc1[i] = (pred & 2) ? it->ref_poc_l[1][ref_idx[1]] : 0;
+            it->mot_done[i] = 1;
+            it->intra4[i] = 0;
+            t->avail_y[i] = 1;
+        }
+    /* plan tensors (padded strides) */
+    for (int cy = cy0; cy < cy0 + ch4; cy++)
+        for (int cx = cx0; cx < cx0 + cw4; cx++) {
+            int64_t ip = (int64_t)cy * t->Wc + cx;
+            int64_t plane = (int64_t)t->Hc * t->Wc;
+            t->it->inter4[ip] = 1;
+            for (int lx = 0; lx < 2; lx++) {
+                int on = (pred >> lx) & 1;
+                it->pred_fl[lx * plane + ip] = (uint8_t)on;
+                it->pmv[(lx * plane + ip) * 2] = on ? mv[lx][0] : 0;
+                it->pmv[(lx * plane + ip) * 2 + 1] = on ? mv[lx][1] : 0;
+                it->ref_slot_o[lx * plane + ip] =
+                    on ? it->ref_slot_l[lx][ref_idx[lx]] : 0;
+            }
+        }
+    for (int lx = 0; lx < 2; lx++) {
+        if (!((pred >> lx) & 1)) continue;
+        int ax = mv[lx][0] < 0 ? -mv[lx][0] : mv[lx][0];
+        int ay = mv[lx][1] < 0 ? -mv[lx][1] : mv[lx][1];
+        if (ax > 4 * 56 || ay > 4 * 56) it->mv_overflow = 1;
+    }
+    return merge;
+}
+
+static void mark_cu_edges(Ctx *t, int x0, int y0, int n) {
+    InterCtx *it = t->it;
+    int cx0 = x0 >> 2, cy0 = y0 >> 2, nc = n >> 2;
+    for (int cy = cy0; cy < cy0 + nc && cy < t->ch; cy++) {
+        it->pu_ev[cy * t->cw + cx0] = 1;
+        it->tu_ev[cy * t->cw + cx0] = 1;
+    }
+    for (int cx = cx0; cx < cx0 + nc && cx < t->cw; cx++) {
+        it->pu_eh[cy0 * t->cw + cx] = 1;
+        it->tu_eh[cy0 * t->cw + cx] = 1;
+    }
+}
+
+static void record_inter_cu_done(Ctx *t, int x0, int y0, int n) {
+    int cx = x0 >> 2, cy = y0 >> 2, nc = n >> 2;
+    fill_cells(t->zidx_y, t->Wc, cx, cy, nc, t->zctr++);
+    fill_cells(t->zidx_c, t->Wc >> 1, cx >> 1, cy >> 1, nc >> 1, t->zctr++);
+}
+
+static int part_mode_inter(Ctx *t, int log2size) {
+    Cabac &c = t->c;
+    if (c.decode(CTX_PART_MODE)) return PART_2Nx2N;
+    int at_min = log2size == t->log2_min_cb;
+    int hor = c.decode(CTX_PART_MODE + 1);
+    if (at_min) {
+        if (hor) return PART_2NxN;
+        if (log2size == 3) return PART_Nx2N;
+        return c.decode(CTX_PART_MODE + 2) ? PART_Nx2N : PART_NxN;
+    }
+    if (!t->it->amp_enabled) return hor ? PART_2NxN : PART_Nx2N;
+    if (c.decode(CTX_PART_MODE + 3)) return hor ? PART_2NxN : PART_Nx2N;
+    int second = c.bypass();
+    if (hor) return second ? PART_2NxnD : PART_2NxnU;
+    return second ? PART_nRx2N : PART_nLx2N;
+}
+
+static int pu_geometry(int part, int x0, int y0, int n, int out[4][4]) {
+    int h = n >> 1, q = n >> 2;
+    switch (part) {
+        case PART_2Nx2N:
+            out[0][0]=x0; out[0][1]=y0; out[0][2]=n; out[0][3]=n; return 1;
+        case PART_2NxN:
+            out[0][0]=x0; out[0][1]=y0; out[0][2]=n; out[0][3]=h;
+            out[1][0]=x0; out[1][1]=y0+h; out[1][2]=n; out[1][3]=h; return 2;
+        case PART_Nx2N:
+            out[0][0]=x0; out[0][1]=y0; out[0][2]=h; out[0][3]=n;
+            out[1][0]=x0+h; out[1][1]=y0; out[1][2]=h; out[1][3]=n; return 2;
+        case PART_NxN:
+            out[0][0]=x0; out[0][1]=y0; out[0][2]=h; out[0][3]=h;
+            out[1][0]=x0+h; out[1][1]=y0; out[1][2]=h; out[1][3]=h;
+            out[2][0]=x0; out[2][1]=y0+h; out[2][2]=h; out[2][3]=h;
+            out[3][0]=x0+h; out[3][1]=y0+h; out[3][2]=h; out[3][3]=h;
+            return 4;
+        case PART_2NxnU:
+            out[0][0]=x0; out[0][1]=y0; out[0][2]=n; out[0][3]=q;
+            out[1][0]=x0; out[1][1]=y0+q; out[1][2]=n; out[1][3]=n-q;
+            return 2;
+        case PART_2NxnD:
+            out[0][0]=x0; out[0][1]=y0; out[0][2]=n; out[0][3]=n-q;
+            out[1][0]=x0; out[1][1]=y0+n-q; out[1][2]=n; out[1][3]=q;
+            return 2;
+        case PART_nLx2N:
+            out[0][0]=x0; out[0][1]=y0; out[0][2]=q; out[0][3]=n;
+            out[1][0]=x0+q; out[1][1]=y0; out[1][2]=n-q; out[1][3]=n;
+            return 2;
+        default:
+            out[0][0]=x0; out[0][1]=y0; out[0][2]=n-q; out[0][3]=n;
+            out[1][0]=x0+n-q; out[1][1]=y0; out[1][2]=q; out[1][3]=n;
+            return 2;
+    }
+}
+
+
 /* ---- intra CU syntax (mirrors refdec._intra_cu + _transform_tree) ----- */
 
 static void mpm(Ctx *t, int px, int py, int *cands) {
@@ -506,9 +1042,53 @@ static void chroma_unit(Ctx *t, int xc, int yc, int log2size,
     record_chroma_tu(t, xc, yc, 1 << log2size, mode);
 }
 
+static void inter_chroma_unit(Ctx *t, int xc, int yc, int log2size,
+                              int cbf_cb, int cbf_cr) {
+    int n = 1 << log2size;
+    if (cbf_cb) {
+        residual(t, log2size, 1, 0, t->coeff_cb, t->Wp >> 1, xc, yc);
+        if (t->err) return;
+    }
+    if (cbf_cr) {
+        residual(t, log2size, 2, 0, t->coeff_cr, t->Wp >> 1, xc, yc);
+        if (t->err) return;
+    }
+    if (cbf_cb || cbf_cr)
+        fill_cells(t->it->tu_inter_c, t->Wc >> 1, xc >> 2, yc >> 2, n >> 2,
+                   log2size);
+}
+
 static void transform_unit(Ctx *t, int x0, int y0, int x_base, int y_base,
                            int log2size, int blk_idx, int cbf_luma,
                            int cbf_cb, int cbf_cr) {
+    int n = 1 << log2size;
+    if (t->it) {
+        /* deblock state (finish_bs runs in Python over these cells) */
+        InterCtx *it = t->it;
+        int cx0 = x0 >> 2, cy0 = y0 >> 2, nc = n >> 2;
+        for (int cy = cy0; cy < cy0 + nc && cy < t->ch; cy++)
+            if (cx0 < t->cw) it->tu_ev[cy * t->cw + cx0] = 1;
+        for (int cx = cx0; cx < cx0 + nc && cx < t->cw; cx++)
+            if (cy0 < t->ch) it->tu_eh[cy0 * t->cw + cx] = 1;
+        for (int cy = cy0; cy < cy0 + nc && cy < t->ch; cy++)
+            for (int cx = cx0; cx < cx0 + nc && cx < t->cw; cx++)
+                it->cbf4[cy * t->cw + cx] = (uint8_t)cbf_luma;
+    }
+    if (t->cu_is_inter) {
+        if (cbf_luma) {
+            residual(t, log2size, 0, 0, t->coeff_y, t->Wp, x0, y0);
+            if (t->err) return;
+            fill_cells(t->it->tu_inter_y, t->Wc, x0 >> 2, y0 >> 2, n >> 2,
+                       log2size);
+        }
+        if (log2size > 2)
+            inter_chroma_unit(t, x0 >> 1, y0 >> 1, log2size - 1,
+                              cbf_cb, cbf_cr);
+        else if (blk_idx == 3)
+            inter_chroma_unit(t, x_base >> 1, y_base >> 1, 2,
+                              cbf_cb, cbf_cr);
+        return;
+    }
     int mode = luma_mode_at(t, x0, y0);
     if (cbf_luma) {
         int scan = scan_for(mode, log2size, 0);
@@ -556,7 +1136,11 @@ static void transform_tree(Ctx *t, int x0, int y0, int x_base, int y_base,
                            intra_split, cbf_cb, cbf_cr);
         return;
     }
-    int cbf_luma = c.decode(CTX_CBF_LUMA + (depth == 0 ? 1 : 0));
+    int cbf_luma;
+    if (!t->cu_is_inter || depth != 0 || cbf_cb || cbf_cr)
+        cbf_luma = c.decode(CTX_CBF_LUMA + (depth == 0 ? 1 : 0));
+    else
+        cbf_luma = 1;   /* inferred for an inter CU with rqt_root_cbf */
     transform_unit(t, x0, y0, x_base, y_base, log2size, blk_idx,
                    cbf_luma, cbf_cb, cbf_cr);
 }
@@ -564,6 +1148,16 @@ static void transform_tree(Ctx *t, int x0, int y0, int x_base, int y_base,
 static void intra_cu(Ctx *t, int x0, int y0, int log2size) {
     Cabac &c = t->c;
     int n = 1 << log2size;
+    t->cu_is_inter = 0;
+    if (t->it) {
+        int cx0 = x0 >> 2, cy0 = y0 >> 2, nc = n >> 2;
+        for (int cy = cy0; cy < cy0 + nc && cy < t->ch; cy++)
+            for (int cx = cx0; cx < cx0 + nc && cx < t->cw; cx++)
+                t->it->intra4[cy * t->cw + cx] = 1;
+        /* CU edges == outer TU edges for intra (marked per leaf TU);
+         * mot_done stays 0, matching refdec (intra cells are never
+         * merge/AMVP sources) */
+    }
     int part_nxn = 0;
     if (log2size == t->log2_min_cb)
         if (!c.decode(CTX_PART_MODE)) part_nxn = 1;
@@ -620,6 +1214,43 @@ static void intra_cu(Ctx *t, int x0, int y0, int log2size) {
                    part_nxn, 1, 1);
 }
 
+static void inter_cu(Ctx *t, int x0, int y0, int log2size) {
+    Cabac &c = t->c;
+    int n = 1 << log2size;
+    t->cu_is_inter = 1;
+    int part = part_mode_inter(t, log2size);
+    int geo[4][4];
+    int npu = pu_geometry(part, x0, y0, n, geo);
+    int first_merge = 0;
+    for (int i = 0; i < npu; i++) {
+        int m = prediction_unit(t, x0, y0, n, geo[i][0], geo[i][1],
+                                geo[i][2], geo[i][3], i, part, 0);
+        if (i == 0) first_merge = m;
+    }
+    mark_cu_edges(t, x0, y0, n);
+    if (part != PART_2Nx2N) {
+        InterCtx *it = t->it;
+        for (int i = 1; i < npu; i++) {
+            int xp = geo[i][0], yp = geo[i][1], w = geo[i][2], h = geo[i][3];
+            for (int cy = yp >> 2; cy < (yp + h) >> 2 && cy < t->ch; cy++)
+                it->pu_ev[cy * t->cw + (xp >> 2)] = 1;
+            for (int cx = xp >> 2; cx < (xp + w) >> 2 && cx < t->cw; cx++)
+                it->pu_eh[(yp >> 2) * t->cw + cx] = 1;
+        }
+    }
+    int rqt_root_cbf = 1;
+    if (!(part == PART_2Nx2N && first_merge))
+        rqt_root_cbf = c.decode(CTX_NO_RESIDUAL_DATA);
+    if (rqt_root_cbf) {
+        int inter_split = (t->it->max_tdepth_inter == 0 &&
+                           part != PART_2Nx2N);
+        t->cu_x0 = x0; t->cu_y0 = y0; t->cu_log2 = log2size;
+        transform_tree(t, x0, y0, x0, y0, log2size, 0, 0,
+                       t->it->max_tdepth_inter, inter_split, 1, 1);
+    }
+    record_inter_cu_done(t, x0, y0, n);
+}
+
 static void coding_unit(Ctx *t, int x0, int y0, int log2size, int depth) {
     if (t->err) return;
     int n = 1 << log2size;
@@ -630,6 +1261,28 @@ static void coding_unit(Ctx *t, int x0, int y0, int log2size, int depth) {
     if (t->tqbypass_enabled) {
         if (t->c.decode(CTX_CU_TRANSQUANT_BYPASS)) {
             fail(t, E_TQBYPASS);
+            return;
+        }
+    }
+    if (t->it) {
+        InterCtx *it = t->it;
+        int ctx = 0;
+        if (x0 > 0 && t->avail_y[cy * t->cw + cx - 1])
+            ctx += it->skip4[cy * t->cw + cx - 1];
+        if (y0 > 0 && t->avail_y[(cy - 1) * t->cw + cx])
+            ctx += it->skip4[(cy - 1) * t->cw + cx];
+        if (t->c.decode(CTX_SKIP_FLAG + ctx)) {
+            for (int y = cy; y < cy + nc && y < t->ch; y++)
+                for (int x = cx; x < cx + nc && x < t->cw; x++)
+                    it->skip4[y * t->cw + x] = 1;
+            t->cu_is_inter = 1;
+            prediction_unit(t, x0, y0, n, x0, y0, n, n, 0, PART_2Nx2N, 1);
+            mark_cu_edges(t, x0, y0, n);
+            record_inter_cu_done(t, x0, y0, n);
+            return;
+        }
+        if (!t->c.decode(CTX_PRED_MODE_FLAG)) {
+            inter_cu(t, x0, y0, log2size);
             return;
         }
     }
@@ -838,6 +1491,155 @@ int jmx_hevc_parse_i_slice(
             }
         }
     }
+    return n_ctbs;
+}
+
+
+/* P/B slice parse: intra layout + inter params/pointers.
+ * ip2 layout (int32):
+ *  0 slice_type(0 B,1 P)  1 num_ref_l0   2 num_ref_l1  3 max_merge
+ *  4 tmvp_on   5 col_from_l0  6 col_ref_idx  7 mvd_l1_zero
+ *  8 no_backward  9 cur_poc  10 max_tdepth_inter  11 amp_enabled
+ * 12 has_col  13 col_poc
+ * ref_poc / ref_slot: [2][16] int32.
+ * state grids are coded-cell-sized [ch][cw] (outputs, zero-initialised by
+ * the caller); plan grids padded [Hc][Wc].
+ * Returns n_ctbs (>0), or <0; -40 = motion beyond the device MC pad (the
+ * parse is still complete and correct — caller marks plan unsupported). */
+int jmx_hevc_parse_pb_slice(
+        const uint8_t *rbsp, int64_t nbytes, int64_t bit_pos,
+        const int32_t *iparams, const int64_t *substream_byte_off,
+        int32_t *coeff_y, int32_t *tu_log2_y, int32_t *mode_y,
+        int32_t *zidx_y, int32_t *qp_y,
+        int32_t *coeff_cb, int32_t *coeff_cr,
+        int32_t *tu_log2_c, int32_t *mode_c, int32_t *zidx_c,
+        int32_t *bs_ver, int32_t *bs_hor,
+        int32_t *sao_type, int32_t *sao_offsets, int32_t *sao_band,
+        int32_t *sao_eo,
+        uint8_t *scratch,
+        const int32_t *ip2, const int32_t *ref_poc, const int32_t *ref_slot,
+        const uint8_t *col_pred0, const uint8_t *col_pred1,
+        const uint8_t *col_intra,
+        const int32_t *col_mv0, const int32_t *col_mv1,
+        const int32_t *col_refpoc0, const int32_t *col_refpoc1,
+        uint8_t *pred0, uint8_t *pred1, int32_t *mv0, int32_t *mv1,
+        int32_t *refidx0, int32_t *refidx1,
+        int32_t *refpoc0, int32_t *refpoc1,
+        uint8_t *mot_done, uint8_t *intra4, uint8_t *skip4, uint8_t *cbf4,
+        uint8_t *tu_ev, uint8_t *tu_eh, uint8_t *pu_ev, uint8_t *pu_eh,
+        uint8_t *inter4, int32_t *pmv, int32_t *ref_slot_o,
+        uint8_t *pred_fl, int32_t *tu_inter_y, int32_t *tu_inter_c) {
+    Ctx t;
+    memset((void *)&t, 0, sizeof(Ctx));
+    InterCtx it;
+    memset((void *)&it, 0, sizeof(InterCtx));
+    t.it = &it;
+    t.w = iparams[0]; t.h = iparams[1];
+    t.log2_ctb = iparams[2]; t.log2_min_cb = iparams[3];
+    t.log2_min_tb = iparams[4]; t.log2_max_tb = iparams[5];
+    t.max_tdepth_intra = iparams[6];
+    t.qp = iparams[7]; t.init_type = iparams[8];
+    t.sao_luma = iparams[9]; t.sao_chroma = iparams[10];
+    t.wpp = iparams[11]; t.sdh = iparams[12];
+    t.tskip_enabled = iparams[13];
+    t.tqbypass_enabled = iparams[14];
+    int pcm_enabled = iparams[15];
+    int seg_addr = iparams[16];
+    int n_sub = iparams[17];
+    if (pcm_enabled) return E_PCM;
+    if (seg_addr != 0) return E_NOTINTRA;
+    int ctb = 1 << t.log2_ctb;
+    t.ctb_w = (t.w + ctb - 1) >> t.log2_ctb;
+    t.ctb_h = (t.h + ctb - 1) >> t.log2_ctb;
+    t.Wp = t.ctb_w * ctb; t.Hp = t.ctb_h * ctb;
+    t.Wc = t.Wp >> 2; t.Hc = t.Hp >> 2;
+    t.cw = (t.w + 3) >> 2; t.ch = (t.h + 3) >> 2;
+    t.coeff_y = coeff_y; t.tu_log2_y = tu_log2_y; t.mode_y_o = mode_y;
+    t.zidx_y = zidx_y; t.qp_y = qp_y;
+    t.coeff_cb = coeff_cb; t.coeff_cr = coeff_cr;
+    t.tu_log2_c = tu_log2_c; t.mode_c_o = mode_c; t.zidx_c = zidx_c;
+    t.bs_ver = bs_ver; t.bs_hor = bs_hor;
+    t.sao_type = sao_type; t.sao_offsets = sao_offsets;
+    t.sao_band = sao_band; t.sao_eo = sao_eo;
+    t.zctr = 0;
+    it.slice_type = ip2[0];
+    it.num_ref[0] = ip2[1]; it.num_ref[1] = ip2[2];
+    it.max_merge = ip2[3];
+    it.tmvp_on = ip2[4]; it.col_from_l0 = ip2[5];
+    it.col_ref_idx = ip2[6]; it.mvd_l1_zero = ip2[7];
+    it.no_backward = ip2[8]; it.cur_poc = ip2[9];
+    it.max_tdepth_inter = ip2[10]; it.amp_enabled = ip2[11];
+    it.has_col = ip2[12]; it.col_poc = ip2[13];
+    for (int lx = 0; lx < 2; lx++)
+        for (int k = 0; k < 16; k++) {
+            it.ref_poc_l[lx][k] = ref_poc[lx * 16 + k];
+            it.ref_slot_l[lx][k] = ref_slot[lx * 16 + k];
+        }
+    it.col_pred0 = col_pred0; it.col_pred1 = col_pred1;
+    it.col_intra = col_intra;
+    it.col_mv0 = col_mv0; it.col_mv1 = col_mv1;
+    it.col_refpoc0 = col_refpoc0; it.col_refpoc1 = col_refpoc1;
+    it.pred0 = pred0; it.pred1 = pred1; it.mv0 = mv0; it.mv1 = mv1;
+    it.refidx0 = refidx0; it.refidx1 = refidx1;
+    it.refpoc0 = refpoc0; it.refpoc1 = refpoc1;
+    it.mot_done = mot_done; it.intra4 = intra4; it.skip4 = skip4;
+    it.cbf4 = cbf4;
+    it.tu_ev = tu_ev; it.tu_eh = tu_eh; it.pu_ev = pu_ev; it.pu_eh = pu_eh;
+    it.inter4 = inter4; it.pmv = pmv; it.ref_slot_o = ref_slot_o;
+    it.pred_fl = pred_fl; it.tu_inter_y = tu_inter_y;
+    it.tu_inter_c = tu_inter_c;
+
+    size_t cells = (size_t)t.cw * t.ch;
+    t.avail_y = scratch;
+    t.mode_avail = scratch + cells;
+    t.mode_y = scratch + 2 * cells;
+    t.ct_depth = scratch + 3 * cells;
+    uint8_t *ctb_done = scratch + 4 * cells;
+    memset(scratch, 0, 5 * cells);
+    memset(t.mode_y, IP_DC, cells);
+
+    t.c.start(rbsp, nbytes, bit_pos, t.qp, t.init_type);
+    uint8_t saved_state[HEVC_NCTX], saved_mps[HEVC_NCTX];
+    int have_saved = 0;
+    int addr = seg_addr;
+    int sub_idx = 0;
+    int n_ctbs = 0;
+    for (;;) {
+        int xc = addr % t.ctb_w, yc = addr / t.ctb_w;
+        if (t.wpp && xc == 0 && addr != seg_addr) {
+            int top_right = (t.ctb_w > 1 ? 1 : 0);
+            if (t.ctb_w > 1 &&
+                    ctb_done[(yc - 1) * t.ctb_w + top_right] && have_saved)
+                t.c.load(saved_state, saved_mps);
+            else
+                t.c.init_contexts(t.qp, t.init_type);
+        }
+        if (t.sao_luma || t.sao_chroma)
+            sao_syntax(&t, xc, yc, ctb_done);
+        coding_quadtree(&t, xc << t.log2_ctb, yc << t.log2_ctb,
+                        t.log2_ctb, 0);
+        if (t.err) return t.err;
+        ctb_done[yc * t.ctb_w + xc] = 1;
+        n_ctbs++;
+        if (t.wpp && xc == 1) {
+            t.c.save(saved_state, saved_mps);
+            have_saved = 1;
+        }
+        int end = t.c.terminate();
+        addr++;
+        if (end) break;
+        if (addr >= t.ctb_w * t.ctb_h) return E_OVERRUN;
+        if (t.wpp && addr % t.ctb_w == 0) {
+            if (!t.c.terminate()) return E_SUBSET;
+            if (sub_idx < n_sub) {
+                t.c.reposition(substream_byte_off[sub_idx] * 8);
+                sub_idx++;
+            } else {
+                t.c.align_and_reinit();
+            }
+        }
+    }
+    if (it.mv_overflow) return -40;
     return n_ctbs;
 }
 
