@@ -580,16 +580,16 @@ class EncoderParams:
 
 
 class _HevcEncAdapter:
-    """Gives HevcIntraEncoder the H264ReferenceEncoder session interface."""
+    """Gives the HEVC encoder the H264ReferenceEncoder session interface."""
 
     class _Cfg:
-        def __init__(self, qp):
+        def __init__(self, qp, gop_len):
             self.qp = qp
-            self.gop_len = 1  # all-intra
+            self.gop_len = gop_len
 
     def __init__(self, enc):
         self._e = enc
-        self.cfg = self._Cfg(enc.qp)
+        self.cfg = self._Cfg(enc.qp, getattr(enc, "gop_len", 1))
         self.frame_idx = 0
 
     def headers_annexb(self) -> bytes:
@@ -631,11 +631,12 @@ class EncoderSession:
             logger.info("num_bframe>0: using the host encode engine")
             engine = "host"
         if self.params.codec == Codec.HEVC:
-            # all-intra HEVC encode (v1 scope; every frame is an IDR)
-            from ..codec.hevc.refenc import HevcIntraEncoder
-            self._enc = _HevcEncAdapter(HevcIntraEncoder(
+            # HEVC encode: IDR + P...P closed GOPs (single reference)
+            from ..codec.hevc.refenc import HevcEncoder
+            self._enc = _HevcEncAdapter(HevcEncoder(
                 self.params.width, self.params.height,
-                qp=self.params.effective_qp()))
+                qp=self.params.effective_qp(),
+                gop_len=max(1, self.params.gop_len)))
         else:
             from ..codec.h264.refenc import (EncoderConfig,
                                              H264ReferenceEncoder)

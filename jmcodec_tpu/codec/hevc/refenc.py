@@ -507,6 +507,9 @@ class HevcIntraEncoder:
                             avail_y, avail_c, mode_map, mode_avail)
             c.terminate(1 if idx == last else 0)
         payload = hw.bytes() + c.finish()
+        self._last_coded = (recon_y.astype(np.uint8),
+                            recon_cb.astype(np.uint8),
+                            recon_cr.astype(np.uint8))
         self.last_recon = (recon_y[:self.height, :self.width]
                            .astype(np.uint8),
                            recon_cb[:self.height // 2, :self.width // 2]
@@ -634,3 +637,404 @@ def encode_stream_hevc(frames, width, height, qp=30) -> bytes:
     for (Y, U, V) in frames:
         out.append(enc.encode_frame(Y, U, V))
     return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# P-frame encoding (VERDICT r4: HEVC inter encode). v1 scope: CU=CTB=16,
+# 2Nx2N, one reference (previous frame), TMVP off, merge list of 1 (skip /
+# merge use candidate 0), AMVP 16x16 ME with quarter-pel refinement, intra
+# fallback. Reconstruction shares the decoder's MC + transforms, so recon
+# is bit-exact with any conformant decoder by construction.
+# ---------------------------------------------------------------------------
+
+from . import inter as INT  # noqa: E402  (after-intra import keeps diffs local)
+
+
+def write_p_slice_header(qp: int, poc_lsb: int, delta_poc: int,
+                         init_qp: int = 26) -> BitWriter:
+    """P slice header against write_sps/write_pps's minimal flags (sao off,
+    tmvp off, deblock disabled): one negative reference at -delta_poc,
+    merge list size 1 (five_minus_max_num_merge_cand = 4)."""
+    w = BitWriter()
+    w.flag(1)            # first_slice_segment_in_pic
+    w.ue(0)              # pps_id
+    w.ue(1)              # slice_type P
+    w.u(poc_lsb, 8)      # log2_max_poc_lsb = 8 (sps: 4 + 4)
+    w.flag(0)            # short_term_ref_pic_set_sps_flag -> inline RPS
+    w.ue(1)              # num_negative_pics
+    w.ue(0)              # num_positive_pics
+    w.ue(delta_poc - 1)  # delta_poc_s0_minus1
+    w.flag(1)            # used_by_curr_pic_s0
+    w.flag(0)            # num_ref_idx_active_override (default 1)
+    w.ue(4)              # five_minus_max_num_merge_cand -> max_merge 1
+    w.se(qp - init_qp)
+    w.flag(1)            # alignment_bit_equal_to_one
+    w.align()
+    return w
+
+
+def _write_eg1(c: HevcCabacEncoder, u: int) -> None:
+    """k=1 Exp-Golomb bypass writer (inverse of refdec._eg_bypass k=1)."""
+    p = 0
+    while (((1 << (p + 1)) - 1) << 1) <= u:
+        p += 1
+    for _ in range(p):
+        c.bypass(1)
+    c.bypass(0)
+    c.bypass_bits(u - (((1 << p) - 1) << 1), p + 1)
+
+
+def _write_mvd(c: HevcCabacEncoder, dx: int, dy: int) -> None:
+    g0 = (int(abs(dx) > 0), int(abs(dy) > 0))
+    g1 = (int(abs(dx) > 1), int(abs(dy) > 1))
+    c.encode(CT.ABS_MVD_GREATER0, g0[0])
+    c.encode(CT.ABS_MVD_GREATER0, g0[1])
+    if g0[0]:
+        c.encode(CT.ABS_MVD_GREATER1 + 1, g1[0])
+    if g0[1]:
+        c.encode(CT.ABS_MVD_GREATER1 + 1, g1[1])
+    for v, gg0, gg1 in ((dx, g0[0], g1[0]), (dy, g0[1], g1[1])):
+        if not gg0:
+            continue
+        if gg1:
+            _write_eg1(c, abs(v) - 2)
+        c.bypass(1 if v < 0 else 0)
+
+
+class HevcEncoder(HevcIntraEncoder):
+    """GOP encoder: IDR + P...P (closed GOPs), single reference."""
+
+    def __init__(self, width: int, height: int, qp: int = 30,
+                 gop_len: int = 1):
+        super().__init__(width, height, qp=qp)
+        self.gop_len = max(1, gop_len)
+        self.frame_idx = 0
+        self.poc = 0
+        self.ref: Optional[INT.RefPic] = None
+
+    def encode_frame(self, Y, U, V, qp: int = None) -> bytes:
+        is_idr = (self.gop_len <= 1
+                  or self.frame_idx % self.gop_len == 0
+                  or self.ref is None)
+        self.frame_idx += 1
+        if is_idr:
+            out = super().encode_frame(Y, U, V, qp=qp)
+            self.poc = 0
+            self._store_ref(intra=True)
+            return out
+        self.poc += 1
+        return self._encode_p(Y, U, V, qp)
+
+    def _store_ref(self, intra: bool, mvg=None, predg=None) -> None:
+        ry, rcb, rcr = self._last_coded
+        h4, w4 = self.ph // 4, self.pw // 4
+        mv = np.zeros((2, h4, w4, 2), np.int32)
+        pred = np.zeros((2, h4, w4), np.uint8)
+        intra4 = np.ones((h4, w4), np.uint8)
+        if not intra and mvg is not None:
+            mv[0] = mvg
+            pred[0] = predg
+            intra4 = (predg == 0).astype(np.uint8)
+        self.ref = INT.RefPic(
+            poc=self.poc, y=ry, cb=rcb, cr=rcr, mv=mv,
+            ref_poc=np.zeros((2, h4, w4), np.int32), pred=pred,
+            intra=intra4)
+
+    # -- inter helpers (mirror the decoder's derivations, single list) ----
+
+    def _nbr_first(self, predg, mvg, intra4, done, xp, yp, w, h):
+        """First available merge candidate (A1,B1,B0,A0,B2; TMVP off).
+        Returns (mv, ok)."""
+        for (x, y) in ((xp - 1, yp + h - 1), (xp + w - 1, yp - 1),
+                       (xp + w, yp - 1), (xp - 1, yp + h),
+                       (xp - 1, yp - 1)):
+            if x < 0 or y < 0 or x >= self.pw or y >= self.ph:
+                continue
+            cx, cy = x // 4, y // 4
+            if done[cy, cx] and not intra4[cy, cx] and predg[cy, cx]:
+                return mvg[cy, cx].copy(), True
+        return np.zeros(2, np.int32), False
+
+    def _amvp0(self, predg, mvg, intra4, done, xp, yp, w, h):
+        """AMVP list (two spatial groups; single ref, same POC -> no
+        scaling; TMVP off). Returns [mvp0, mvp1]."""
+        def avail(x, y):
+            if x < 0 or y < 0 or x >= self.pw or y >= self.ph:
+                return False
+            cx, cy = x // 4, y // 4
+            return bool(done[cy, cx]) and not intra4[cy, cx] and \
+                bool(predg[cy, cx])
+
+        out = []
+        for (x, y) in ((xp - 1, yp + h), (xp - 1, yp + h - 1)):
+            if avail(x, y):
+                out.append(mvg[y // 4, x // 4].copy())
+                break
+        for (x, y) in ((xp + w, yp - 1), (xp + w - 1, yp - 1),
+                       (xp - 1, yp - 1)):
+            if avail(x, y):
+                mv = mvg[y // 4, x // 4].copy()
+                if not out or (mv != out[0]).any():
+                    out.append(mv)
+                break
+        while len(out) < 2:
+            out.append(np.zeros(2, np.int32))
+        return out[:2]
+
+    def _me(self, src, refY, xp, yp, lam, mvp):
+        """16x16 full-pel diamond + quarter-pel refinement vs the single
+        reference; cost = SAD + lam * mvd bits (approx)."""
+        from ...utils.bits import se_len
+        H, W = refY.shape
+        rng_ = 16
+
+        def sad_at(mvq):
+            # mc_luma returns 14-bit pre-weighting samples: convert to
+            # 8-bit (default weighted-sample stage) before the SAD
+            blk = (INT.mc_luma(refY, xp, yp, 16, 16, int(mvq[0]),
+                               int(mvq[1])) + 32) >> 6
+            return int(np.abs(src - np.clip(blk, 0, 255)).sum())
+
+        def cost(mvq, sad):
+            return sad + lam * (se_len(int(mvq[0] - mvp[0])) +
+                                se_len(int(mvq[1] - mvp[1])))
+
+        best_mv = np.array([int(mvp[0]) >> 2 << 2,
+                            int(mvp[1]) >> 2 << 2], np.int32)
+        cands = {(int(best_mv[0]), int(best_mv[1])), (0, 0)}
+        best = None
+        for cd in cands:
+            mvq = np.array(cd, np.int32)
+            cst = cost(mvq, sad_at(mvq))
+            if best is None or cst < best[0]:
+                best = (cst, mvq)
+        for step_px in (2, 1):
+            improved = True
+            iters = 0
+            while improved and iters < rng_:
+                improved = False
+                iters += 1
+                bx, by = int(best[1][0]), int(best[1][1])
+                for dx, dy in ((-4 * step_px, 0), (4 * step_px, 0),
+                               (0, -4 * step_px), (0, 4 * step_px)):
+                    mvq = np.array([np.clip(bx + dx, -4 * rng_, 4 * rng_),
+                                    np.clip(by + dy, -4 * rng_, 4 * rng_)],
+                                   np.int32)
+                    cst = cost(mvq, sad_at(mvq))
+                    if cst < best[0]:
+                        best = (cst, mvq)
+                        improved = True
+        for sub in (2, 1):
+            bx, by = int(best[1][0]), int(best[1][1])
+            for dx, dy in ((-sub, 0), (sub, 0), (0, -sub), (0, sub),
+                           (-sub, -sub), (sub, sub), (-sub, sub),
+                           (sub, -sub)):
+                mvq = np.array([np.clip(bx + dx, -4 * rng_, 4 * rng_),
+                                np.clip(by + dy, -4 * rng_, 4 * rng_)],
+                               np.int32)
+                cst = cost(mvq, sad_at(mvq))
+                if cst < best[0]:
+                    best = (cst, mvq)
+        return best[1], best[0]
+
+    def _quant_tu(self, resid, qp, log2, cidx):
+        w = forward_transform(resid, log2)
+        return quantize(w, qp if cidx == 0 else
+                        int(TR.chroma_qp(qp, 0)), log2, intra=False)
+
+    def _recon_inter(self, z, qp, log2, cidx):
+        qpc = qp if cidx == 0 else int(TR.chroma_qp(qp, 0))
+        d = TR.dequant(z, qpc, log2)
+        return TR.inverse_transform(d, log2, dst=False)
+
+    def _encode_p(self, Y, U, V, qp) -> bytes:
+        qp = self.qp if qp is None else int(qp)
+        qp = max(0, min(51, qp))
+        pw, ph = self.pw, self.ph
+        Ys = np.zeros((ph, pw), np.int32)
+        Us = np.zeros((ph // 2, pw // 2), np.int32)
+        Vs = np.zeros((ph // 2, pw // 2), np.int32)
+        Ys[:self.height, :self.width] = np.asarray(Y, np.int32)
+        Us[:self.height // 2, :self.width // 2] = np.asarray(U, np.int32)
+        Vs[:self.height // 2, :self.width // 2] = np.asarray(V, np.int32)
+        if pw > self.width:
+            Ys[:, self.width:] = Ys[:, self.width - 1:self.width]
+            Us[:, self.width // 2:] = Us[:, self.width // 2 - 1:
+                                         self.width // 2]
+            Vs[:, self.width // 2:] = Vs[:, self.width // 2 - 1:
+                                         self.width // 2]
+        if ph > self.height:
+            Ys[self.height:, :] = Ys[self.height - 1:self.height, :]
+            Us[self.height // 2:, :] = Us[self.height // 2 - 1:
+                                          self.height // 2, :]
+            Vs[self.height // 2:, :] = Vs[self.height // 2 - 1:
+                                          self.height // 2, :]
+
+        recon_y = np.zeros_like(Ys)
+        recon_cb = np.zeros_like(Us)
+        recon_cr = np.zeros_like(Vs)
+        g = 4
+        h4, w4 = ph // g, pw // g
+        avail_y = np.zeros((h4, w4), bool)
+        avail_c = np.zeros((ph // 2 // g, pw // 2 // g), bool)
+        mode_map = np.full((h4, w4), IP.DC, np.int32)
+        mode_avail = np.zeros((h4, w4), bool)
+        predg = np.zeros((h4, w4), np.uint8)
+        mvg = np.zeros((h4, w4, 2), np.int32)
+        intra4 = np.zeros((h4, w4), np.uint8)
+        skip4 = np.zeros((h4, w4), np.uint8)
+        done = np.zeros((h4, w4), bool)
+        refs = [[self.ref], []]
+        lam = max(1, 1 << max(0, (qp - 12) // 6))
+
+        hw = write_p_slice_header(qp, self.poc & 0xFF, 1)
+        c = HevcCabacEncoder(qp, init_type=1)   # P, cabac_init_flag 0
+        cu = self.CU
+        n_ctb_x, n_ctb_y = pw // cu, ph // cu
+        last = n_ctb_y * n_ctb_x - 1
+        for idx in range(last + 1):
+            yc, xc = divmod(idx, n_ctb_x)
+            self._encode_p_cu(c, xc * cu, yc * cu, qp, lam, Ys, Us, Vs,
+                              recon_y, recon_cb, recon_cr,
+                              avail_y, avail_c, mode_map, mode_avail,
+                              predg, mvg, intra4, skip4, done, refs)
+            c.terminate(1 if idx == last else 0)
+        payload = hw.bytes() + c.finish()
+        self._last_coded = (recon_y.astype(np.uint8),
+                            recon_cb.astype(np.uint8),
+                            recon_cr.astype(np.uint8))
+        self.last_recon = (recon_y[:self.height, :self.width]
+                           .astype(np.uint8),
+                           recon_cb[:self.height // 2, :self.width // 2]
+                           .astype(np.uint8),
+                           recon_cr[:self.height // 2, :self.width // 2]
+                           .astype(np.uint8))
+        self._store_ref(intra=False, mvg=mvg, predg=predg)
+        self.frames += 1
+        return HN.write_nal_unit(HN.NAL_TRAIL_R, payload)
+
+    def _encode_p_cu(self, c, x0, y0, qp, lam, Ys, Us, Vs,
+                     ry, rcb, rcr, avail_y, avail_c, mode_map, mode_avail,
+                     predg, mvg, intra4, skip4, done, refs):
+        cu = self.CU
+        g = 4
+        cx0, cy0, nc = x0 // g, y0 // g, cu // g
+        src = Ys[y0:y0 + cu, x0:x0 + cu]
+        srcU = Us[y0 // 2:(y0 + cu) // 2, x0 // 2:(x0 + cu) // 2]
+        srcV = Vs[y0 // 2:(y0 + cu) // 2, x0 // 2:(x0 + cu) // 2]
+
+        # candidates
+        mv_merge, merge_ok = self._nbr_first(predg, mvg, intra4, done,
+                                             x0, y0, cu, cu)
+        mvps = self._amvp0(predg, mvg, intra4, done, x0, y0, cu, cu)
+        mv_me, cost_me = self._me(src, self.ref.y.astype(np.int32),
+                                  x0, y0, lam, mvps[0])
+        clamp = 4 * 48
+        mv_me = np.clip(mv_me, -clamp, clamp)
+        mv_merge = np.clip(mv_merge, -clamp, clamp)
+
+        def pred_of(mv):
+            return INT.predict_pu(refs, x0, y0, cu, cu, 1,
+                                  [(int(mv[0]), int(mv[1])), (0, 0)],
+                                  [0, -1])
+
+        pm_y, pm_cb, pm_cr = pred_of(mv_merge)
+        cost_merge = int(np.abs(src - pm_y).sum()) + lam
+        pa_y, pa_cb, pa_cr = pred_of(mv_me)
+        intra_thresh = 16 * 16 * 20
+
+        use_merge = cost_merge <= cost_me
+        best_cost = min(cost_merge, cost_me)
+        if best_cost > intra_thresh:
+            # intra fallback: skip_flag 0, pred_mode 1, then the intra CU
+            ctx = 0
+            if x0 > 0 and avail_y[cy0, cx0 - 1]:
+                ctx += int(skip4[cy0, cx0 - 1])
+            if y0 > 0 and avail_y[cy0 - 1, cx0]:
+                ctx += int(skip4[cy0 - 1, cx0])
+            c.encode(CT.SKIP_FLAG + ctx, 0)
+            c.encode(CT.PRED_MODE_FLAG, 1)
+            self._encode_cu(c, x0, y0, qp, Ys, Us, Vs, ry, rcb, rcr,
+                            avail_y, avail_c, mode_map, mode_avail)
+            intra4[cy0:cy0 + nc, cx0:cx0 + nc] = 1
+            done[cy0:cy0 + nc, cx0:cx0 + nc] = True
+            skip4[cy0:cy0 + nc, cx0:cx0 + nc] = 0
+            return
+
+        mv = mv_merge if use_merge else mv_me
+        py, pcb, pcr = (pm_y, pm_cb, pm_cr) if use_merge else \
+            (pa_y, pa_cb, pa_cr)
+        zl = self._quant_tu(src - py, qp, 4, 0)
+        zcb = self._quant_tu(srcU - pcb, qp, 3, 1)
+        zcr = self._quant_tu(srcV - pcr, qp, 3, 2)
+        cbf_l, cbf_cb, cbf_cr = (int(zl.any()), int(zcb.any()),
+                                 int(zcr.any()))
+        all_zero = not (cbf_l or cbf_cb or cbf_cr)
+
+        ctx = 0
+        if x0 > 0 and avail_y[cy0, cx0 - 1]:
+            ctx += int(skip4[cy0, cx0 - 1])
+        if y0 > 0 and avail_y[cy0 - 1, cx0]:
+            ctx += int(skip4[cy0 - 1, cx0])
+
+        del merge_ok
+        if use_merge and all_zero:
+            # SKIP CU (merge cand 0, no residual)
+            c.encode(CT.SKIP_FLAG + ctx, 1)
+            skip4[cy0:cy0 + nc, cx0:cx0 + nc] = 1
+        else:
+            c.encode(CT.SKIP_FLAG + ctx, 0)
+            c.encode(CT.PRED_MODE_FLAG, 0)
+            c.encode(CT.PART_MODE, 1)            # 2Nx2N
+            c.encode(CT.MERGE_FLAG, 1 if use_merge else 0)
+            if not use_merge:
+                # P slice, nref 1: no inter_pred_idc, no ref_idx
+                mvd = (int(mv[0] - mvps[0][0]), int(mv[1] - mvps[0][1]))
+                mvd1 = (int(mv[0] - mvps[1][0]), int(mv[1] - mvps[1][1]))
+                from ...utils.bits import se_len
+                flag = 0
+                if (se_len(mvd1[0]) + se_len(mvd1[1])
+                        < se_len(mvd[0]) + se_len(mvd[1])):
+                    flag, mvd = 1, mvd1
+                _write_mvd(c, mvd[0], mvd[1])
+                c.encode(CT.MVP_LX_FLAG, flag)
+            if not use_merge:
+                c.encode(CT.NO_RESIDUAL_DATA, 0 if all_zero else 1)
+            if use_merge and all_zero:
+                # merge 2Nx2N infers rqt_root_cbf=1: must code cbf flags
+                pass
+            if not all_zero or use_merge:
+                # transform tree leaf at depth 0 (CTB16, no split)
+                c.encode(CT.CBF_CB_CR + 0, cbf_cb)
+                c.encode(CT.CBF_CB_CR + 0, cbf_cr)
+                if cbf_cb or cbf_cr:
+                    c.encode(CT.CBF_LUMA + 1, cbf_l)
+                else:
+                    # cbf_luma inferred 1: force a coded luma residual
+                    if not cbf_l:
+                        zl[0, 0] = 1
+                        cbf_l = 1
+                if cbf_l:
+                    write_residual(c, zl, 4, 0)
+                if cbf_cb:
+                    write_residual(c, zcb, 3, 1)
+                if cbf_cr:
+                    write_residual(c, zcr, 3, 2)
+            skip4[cy0:cy0 + nc, cx0:cx0 + nc] = 0
+
+        # reconstruction (decoder-identical)
+        rl = self._recon_inter(zl, qp, 4, 0) if cbf_l else 0
+        rb = self._recon_inter(zcb, qp, 3, 1) if cbf_cb else 0
+        rr = self._recon_inter(zcr, qp, 3, 2) if cbf_cr else 0
+        ry[y0:y0 + cu, x0:x0 + cu] = np.clip(py + rl, 0, 255)
+        rcb[y0 // 2:(y0 + cu) // 2, x0 // 2:(x0 + cu) // 2] = np.clip(
+            pcb + rb, 0, 255)
+        rcr[y0 // 2:(y0 + cu) // 2, x0 // 2:(x0 + cu) // 2] = np.clip(
+            pcr + rr, 0, 255)
+
+        predg[cy0:cy0 + nc, cx0:cx0 + nc] = 1
+        mvg[cy0:cy0 + nc, cx0:cx0 + nc] = mv
+        intra4[cy0:cy0 + nc, cx0:cx0 + nc] = 0
+        done[cy0:cy0 + nc, cx0:cx0 + nc] = True
+        avail_y[cy0:cy0 + nc, cx0:cx0 + nc] = True
+        avail_c[y0 // 8:(y0 + cu) // 8, x0 // 8:(x0 + cu) // 8] = True

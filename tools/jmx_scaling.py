@@ -30,7 +30,9 @@ def main():
     args = ap.parse_args()
 
     dev_list = [int(d) for d in args.devices.split(",")]
-    if "JAX_PLATFORMS" not in os.environ:
+    if os.environ.get("JMX_SCALING_TPU") != "1":
+        # dev environment: one real chip; measure on a virtual CPU mesh
+        # (identical code path; on a pod set JMX_SCALING_TPU=1)
         os.environ["JAX_PLATFORMS"] = "cpu"
         flags = os.environ.get("XLA_FLAGS", "")
         if "host_platform_device_count" not in flags:
@@ -38,6 +40,15 @@ def main():
                 flags + f" --xla_force_host_platform_device_count="
                 f"{max(dev_list)}").strip()
     import jax
+
+    if os.environ.get("JMX_SCALING_TPU") != "1":
+        # the env var alone does not win over a registered TPU plugin
+        # (tests/conftest.py note): force the config knob too
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_num_cpu_devices", max(dev_list))
+        except Exception:
+            pass
 
     from jmcodec_tpu.codec.h264.fastdec import FastH264Parser
     from jmcodec_tpu.codec.h264.refenc import encode_stream
