@@ -590,6 +590,12 @@ def _make_walk_switch(C: int, max_tu: int, is_chroma: bool, strong: bool):
 
 
 def _walk_factory():
+    """Walk variant selection. JMX_HEVC_WALK in {unroll, switch, pallas}
+    and JMX_HEVC_F16 are read at TRACE time: set them before the first
+    decode call in a process — changing them later silently keeps the
+    already-compiled variant for cached shapes (ADVICE r3 #1). All
+    variants are asserted bit-identical by tests/test_hevc_walk_variants
+    and the conformance suite."""
     w = os.environ.get("JMX_HEVC_WALK", "unroll")
     if w == "pallas":
         from .hevc_walk_pallas import make_pallas_walk
