@@ -2,20 +2,31 @@
 
 The XLA walk (hevc_tiles._make_walk) evaluates ~340 dependent TU candidates
 per scan step, each one a separate dispatch that round-trips the ~27 MB F
-composite through HBM (~205 us/candidate measured; the switch/fori_loop
-variant measured 2.2x slower still). This kernel walks ALL candidates of a
-scan step inside one pallas_call with F resident in VMEM:
+composite through HBM (~205 us/candidate measured). This kernel walks ALL
+candidates of a scan step inside ONE pallas_call with F resident in VMEM.
 
-  grid      = lane blocks (the batch axis: CTB rows x frames)
-  aliasing  = F is input 0 and the output (in-place in HBM)
-  state     = the per-block F tile lives in VMEM for the whole walk
-  tables    = per-mode index/fraction tables are static kernel constants
-              (no per-frame preselected index planes, no extra H2D)
+Layout: lane-LAST. The wavefront batch axis (CTB rows x frames) rides the
+minor-most (128-lane) dimension, so
+  * per-candidate vector ops engage the full VPU lane width even for 4x4
+    TUs (the lane-first layout ran them at [8, 4, 4] = sub-vreg shapes);
+  * per-lane mode-table selects become [K,35]x[35,BL] MXU matmuls;
+  * every dynamic slice offset sits on an OUTER dim (rows) or is 8-aligned
+    on the sublane dim (columns) — Mosaic requires sublane-dim dynamic
+    offsets to be provably 8-aligned, so column windows load at
+    align8(x0) and select between the two possible +0/+4 residues (TU x
+    offsets are always multiples of 4).
+
+The candidate loop is a fori_loop over an SMEM z-order table with four
+predicated size-class bodies (pl.when), so kernel code size is O(sizes),
+not O(candidates) — Mosaic compile time stays flat, and a whole-block skip
+(pl.when(any(tu match))) drops inactive candidates.
 
 Per-candidate math mirrors hevc_tiles._tu_candidate exactly (substitution,
 [1 2 1]/strong filtering, 35-mode prediction, residual add, tu-masked
 write) so bit-exactness vs the host reference decoder is preserved; the
-conformance suite runs this path under JMX_HEVC_WALK=pallas.
+conformance suite runs this path under JMX_HEVC_WALK=pallas. Horizontal
+angular modes are computed in a second window pass with the roles of y/x
+swapped instead of transposing (Mosaic relayout-free).
 
 Reference capability: the decode silicon behind intel_dec.cpp:722-741 /
 nv_dec.cpp:394 (cuvidDecodePicture).
@@ -24,6 +35,7 @@ nv_dec.cpp:394 (cuvidDecodePicture).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,15 +43,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..codec.hevc import intra as HIP
-
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
 # ---------------------------------------------------------------------------
-# static per-size tables (kernel constants)
+# static per-size tables (ride in as kernel inputs, TRANSPOSED: [K, 35] so
+# per-lane selection is dot(T, onehot) on the MXU)
 # ---------------------------------------------------------------------------
 
 
@@ -84,159 +95,218 @@ def _zorder_candidates(C: int, max_tu: int):
 
 @functools.lru_cache(maxsize=8)
 def _pack_tables(sizes):
-    """Pallas kernels may not capture array constants, so the per-mode
-    tables ride in as inputs: one [35, 3n+1] table per TU size
-    (proj | off | frac | filt columns) plus a shared [35, 1] ISHOR column.
-    Kept as SEPARATE inputs (not one concatenated table): Mosaic cannot
-    reshape lane-offset slices, so each table must load at lane offset 0.
-    Returns (list of np arrays, sizes)."""
+    """One [3n+1, 35] int32 table per TU size (rows: proj | off | frac |
+    filt), plus a shared [1, 35] ISHOR row. Transposed so the kernel's
+    per-lane table select is dot(T[K,35], onehot[35, BL]) on the MXU."""
     tbls = []
     for n in sizes:
         proj, off, frac, ishor, filt = _walk_tables(n)
         tbls.append(np.concatenate(
-            [proj, off, frac, filt[:, None]], axis=1).astype(np.int32))
+            [proj.T, off.T, frac.T, filt[None, :]], axis=0).astype(np.int32))
     _, _, _, ishor, _ = _walk_tables(sizes[0])
-    tbls.append(ishor[:, None].astype(np.int32))
+    tbls.append(ishor[None, :].astype(np.int32))
     return tbls, sizes
 
 
+def _cand_table(C: int, max_tu: int, sizes):
+    """Z-order candidate table [(cls, x0, y0)] as an int32 array [NC, 3]."""
+    cls_of = {n: i for i, n in enumerate(sizes)}
+    rows = [(cls_of[n], x0, y0) for (n, x0, y0) in
+            _zorder_candidates(C, max_tu)]
+    return np.asarray(rows, np.int32)
+
+
 # ---------------------------------------------------------------------------
-# in-kernel helpers (all arrays lane-first: [LB, ...])
+# in-kernel helpers — lane-last: vectors are [K, BL], planes [Y, X, BL]
 # ---------------------------------------------------------------------------
 
 
-def _rev(a):
-    """Reverse along the last axis via a static anti-diagonal masked sum
-    (Mosaic has no lowering for lax.rev). a [LB, K] int32."""
-    LB, K = a.shape
-    j = jax.lax.broadcasted_iota(jnp.int32, (LB, K, K), 1)
-    c = jax.lax.broadcasted_iota(jnp.int32, (LB, K, K), 2)
-    m = (j + c) == K - 1
-    return jnp.sum(jnp.where(m, a[:, None, :], 0), axis=-1)
+def _rev0(a):
+    """Reverse along axis 0 via an anti-diagonal masked sum (robust under
+    Mosaic: no sublane-dim reshapes). a [K, BL]."""
+    K, BL = a.shape
+    ji = jax.lax.broadcasted_iota(jnp.int32, (K, K, BL), 0)
+    ki = jax.lax.broadcasted_iota(jnp.int32, (K, K, BL), 1)
+    return jnp.sum(jnp.where(ji + ki == K - 1, a[None], 0), axis=1)
 
 
-def _shift_r(a, k, fill):
-    """Shift last axis right by k (toward higher index), filling with
-    `fill` on the left."""
-    pad = jnp.full(a.shape[:-1] + (k,), fill, a.dtype)
-    return jnp.concatenate([pad, a[..., :-k]], axis=-1)
+def _rep4_0(a):
+    """Repeat each row 4x along axis 0: [K, BL] -> [4K, BL] (masked sum)."""
+    K, BL = a.shape
+    ji = jax.lax.broadcasted_iota(jnp.int32, (4 * K, K, BL), 0)
+    ki = jax.lax.broadcasted_iota(jnp.int32, (4 * K, K, BL), 1)
+    return jnp.sum(jnp.where((ji >> 2) == ki, a[None], 0), axis=1)
 
 
-def _shift_l(a, k, fill):
-    pad = jnp.full(a.shape[:-1] + (k,), fill, a.dtype)
-    return jnp.concatenate([a[..., k:], pad], axis=-1)
+def _shift_r0(a, k, fill):
+    """Shift axis 0 right by k (toward higher index), filling on top."""
+    pad = jnp.full((k,) + a.shape[1:], fill, a.dtype)
+    return jnp.concatenate([pad, a[:-k]], axis=0)
 
 
-def _substitute(v, am):
+def _shift_l0(a, k, fill):
+    pad = jnp.full((k,) + a.shape[1:], fill, a.dtype)
+    return jnp.concatenate([a[k:], pad], axis=0)
+
+
+def _substitute0(v, am):
     """Reference-sample substitution (8.4.4.2.2): nearest-available fill
-    via log-depth shift scans. v [LB, L] int32, am [LB, L] int32 0/1
-    (all-int32: Mosaic cannot reshape/expand i1 vectors)."""
-    L = v.shape[-1]
+    via log-depth shift scans along axis 0. v [L, BL] int32, am [L, BL]
+    int32 0/1."""
+    L = v.shape[0]
     val = jnp.where(am != 0, v, 0)
     have = am
     sh = 1
     while sh < L:
-        val = jnp.where(have != 0, val, _shift_r(val, sh, 0))
-        have = have | _shift_r(have, sh, 0)
+        val = jnp.where(have != 0, val, _shift_r0(val, sh, 0))
+        have = have | _shift_r0(have, sh, 0)
         sh *= 2
     fwd_v, fwd_f = val, have
     val = jnp.where(am != 0, v, 0)
     have = am
     sh = 1
     while sh < L:
-        val = jnp.where(have != 0, val, _shift_l(val, sh, 0))
-        have = have | _shift_l(have, sh, 0)
+        val = jnp.where(have != 0, val, _shift_l0(val, sh, 0))
+        have = have | _shift_l0(have, sh, 0)
         sh *= 2
     out = jnp.where(fwd_f != 0, fwd_v, val)
-    any_av = jnp.max(am, axis=-1, keepdims=True)
+    any_av = jnp.max(am, axis=0, keepdims=True)
     return jnp.where(any_av != 0, out, 128)
 
 
-def _filter_121(v):
-    """[1 2 1] smoothing with endpoints kept (8.4.4.2.3)."""
-    left = jnp.concatenate([v[:, :1], v[:, :-1]], axis=-1)
-    right = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=-1)
-    sm = (left + 2 * v + right + 2) >> 2
-    LB, L = v.shape
-    j = jax.lax.broadcasted_iota(jnp.int32, (LB, L), 1)
+def _filter_121_0(v):
+    """[1 2 1] smoothing with endpoints kept (8.4.4.2.3). v [L, BL]."""
+    up = jnp.concatenate([v[:1], v[:-1]], axis=0)
+    dn = jnp.concatenate([v[1:], v[-1:]], axis=0)
+    sm = (up + 2 * v + dn + 2) >> 2
+    L = v.shape[0]
+    j = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
     return jnp.where((j == 0) | (j == L - 1), v, sm)
 
 
-def _strong_filter(v, n):
-    """Strong bilinear smoothing for n==32 (8.4.4.2.3). Returns the
-    strong-filtered vector and the per-lane condition."""
-    tl = v[:, 2 * n]
-    bl = v[:, 0]
-    tr = v[:, 4 * n]
-    t_mid = v[:, 2 * n + 1 + n - 1]
-    l_mid = v[:, 2 * n - 1 - (n - 1)]
+def _strong_filter0(v, n):
+    """Strong bilinear smoothing for n==32 (8.4.4.2.3). v [L, BL]; returns
+    (strong [L, BL], cond [1, BL])."""
+    tl = v[2 * n:2 * n + 1]
+    bl = v[0:1]
+    tr = v[4 * n:4 * n + 1]
+    t_mid = v[2 * n + 1 + n - 1:2 * n + 1 + n]
+    l_mid = v[n:n + 1]
     thr = 1 << 3
-    cond = (jnp.abs(tl + tr - 2 * t_mid) < thr) & \
-           (jnp.abs(tl + bl - 2 * l_mid) < thr)
-    LB = v.shape[0]
-    k = jax.lax.broadcasted_iota(jnp.int32, (LB, 2 * n), 1)
-    nl_down = ((2 * n - 1 - k) * tl[:, None] + (k + 1) * bl[:, None]
-               + 32) >> 6
-    nl_down = jnp.where(k == 2 * n - 1, bl[:, None], nl_down)
-    nt = ((2 * n - 1 - k) * tl[:, None] + (k + 1) * tr[:, None] + 32) >> 6
-    nt = jnp.where(k == 2 * n - 1, tr[:, None], nt)
-    strong = jnp.concatenate([_rev(nl_down), tl[:, None], nt], axis=-1)
+    cond = ((jnp.abs(tl + tr - 2 * t_mid) < thr) &
+            (jnp.abs(tl + bl - 2 * l_mid) < thr))
+    BL = v.shape[1]
+    k = jax.lax.broadcasted_iota(jnp.int32, (2 * n, BL), 0)
+    nl_down = ((2 * n - 1 - k) * tl + (k + 1) * bl + 32) >> 6
+    nl_down = jnp.where(k == 2 * n - 1, bl, nl_down)
+    nt = ((2 * n - 1 - k) * tl + (k + 1) * tr + 32) >> 6
+    nt = jnp.where(k == 2 * n - 1, tr, nt)
+    strong = jnp.concatenate([_rev0(nl_down), tl, nt], axis=0)
     return strong, jnp.where(cond, 1, 0)
 
 
-def _b3(x1, n):
-    """Per-lane scalar [LB, 1] -> [LB, n, 1] (Mosaic cannot broadcast into
-    sublanes and lanes at once, nor lower 1D->2D reshapes of computed
-    vectors — callers keep values 2D throughout)."""
-    LB = x1.shape[0]
-    return (x1 + jnp.zeros((LB, n), jnp.int32))[:, :, None]
+def _tsel0(Tt, ohf):
+    """Per-lane table-row select on the MXU: Tt [K, 35] int32 (values fit
+    f32 exactly), ohf [35, BL] f32 one-hot -> [K, BL] int32."""
+    r = jnp.dot(Tt.astype(jnp.float32), ohf,
+                preferred_element_type=jnp.float32)
+    return r.astype(jnp.int32)
 
 
-def _tsel(oh, t):
-    """Per-lane row select from a [35, K] table via the mode one-hot
-    mask oh [LB, 35] int32 (masked sum; 35*K is small)."""
-    return jnp.sum(oh[:, :, None] * t[None], axis=1)
-
-
-def _gather_lanes(v, idx, chunk=16):
-    """Per-lane gather: out[l, k] = v[l, idx[l, k]] (0 where idx < 0 or
-    idx >= L). v [LB, L], idx [LB, K] -> [LB, K]."""
-    LB, L = v.shape
-    K = idx.shape[-1]
+def _gather0(v, idx, chunk=8):
+    """Per-lane gather along axis 0: out[k, l] = v[idx[k, l], l], 0 where
+    idx < 0 or >= L. v [L, BL], idx [K, BL] -> [K, BL]."""
+    L, BL = v.shape
+    K = idx.shape[0]
     outs = []
     for k0 in range(0, K, chunk):
         ck = min(chunk, K - k0)
-        idc = idx[:, k0:k0 + ck]
-        rid = jax.lax.broadcasted_iota(jnp.int32, (LB, ck, L), 2)
-        m = idc[:, :, None] == rid
-        outs.append(jnp.sum(jnp.where(m, v[:, None, :], 0), axis=-1))
-    return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+        idc = idx[k0:k0 + ck][:, None, :]                    # [ck, 1, BL]
+        sid = jax.lax.broadcasted_iota(jnp.int32, (ck, L, BL), 1)
+        m = idc == sid
+        outs.append(jnp.sum(jnp.where(m, v[None], 0), axis=1))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-def _gather_rows(v, idx, chunk=4):
-    """out[l, y, x] = v[l, idx[l, y] + x] for x in 0..X-1 (0 out of range).
-    v [LB, S], idx [LB, Y] -> [LB, Y, X]. The minor-dim expansion happens
-    BEFORE chunk slicing (Mosaic cannot reshape lane-offset slices)."""
-    LB, S = v.shape
-    Y = idx.shape[-1]
-    idn = idx[:, :, None]                    # [LB, Y, 1]
+def _win_rows(ext, sh, n):
+    """seg[m, p, l] = ext[sh[m, l] + p] for p in 0..n: per-row variable
+    shift along axis 1, in log2(max shift) select+shift passes.
+    ext [S, BL], sh [n, BL] (values 1..2n+1) -> [n, n+1, BL]."""
+    S, BL = ext.shape
+    T = jnp.broadcast_to(ext[None], (n, S, BL))
+    maxsh = 2 * n + 1
+    b = 1
+    while b <= maxsh:
+        shifted = jnp.concatenate(
+            [T[:, b:, :], jnp.zeros((n, b, BL), T.dtype)], axis=1)
+        T = jnp.where(((sh >> (b.bit_length() - 1)) & 1)[:, None, :] != 0,
+                      shifted, T)
+        b *= 2
+    return T[:, :n + 1, :]
 
-    def one(y0, cy, X):
-        idc = idn[:, y0:y0 + cy, :] + jax.lax.broadcasted_iota(
-            jnp.int32, (LB, cy, X), 2)
-        sid = jax.lax.broadcasted_iota(jnp.int32, (LB, cy, X, S), 3)
-        m = idc[..., None] == sid
-        return jnp.sum(jnp.where(m, v[:, None, None, :], 0), axis=-1)
-    return one, Y
+
+def _win_cols(ext, sh, n):
+    """T2[p, m, l] = ext[p + sh[m, l]] for p in 0..n: the transposed-roles
+    variant for horizontal modes (shift along axis 0, per-column amounts).
+    ext [S, BL], sh [n, BL] -> [n+1, n, BL]."""
+    S, BL = ext.shape
+    T = jnp.broadcast_to(ext[:, None, :], (S, n, BL))
+    maxsh = 2 * n + 1
+    b = 1
+    while b <= maxsh:
+        shifted = jnp.concatenate(
+            [T[b:], jnp.zeros((b, n, BL), T.dtype)], axis=0)
+        T = jnp.where(((sh >> (b.bit_length() - 1)) & 1)[None] != 0,
+                      shifted, T)
+        b *= 2
+    return T[:n + 1]
 
 
-def _rep4(a):
-    """Repeat each element 4x along the last axis: [LB, K] -> [LB, 4K]."""
-    LB, K = a.shape
-    j = jax.lax.broadcasted_iota(jnp.int32, (LB, K, 4 * K), 2)
-    src = jax.lax.broadcasted_iota(jnp.int32, (LB, K, 4 * K), 1)
-    m = (j >> 2) == src
-    return jnp.sum(jnp.where(m, a[:, :, None], 0), axis=1)
+def _col0(row, c):
+    """row [K, BL], dynamic column index c (axis-0 position) -> [1, BL]."""
+    K, BL = row.shape
+    ci = jax.lax.broadcasted_iota(jnp.int32, (K, BL), 0)
+    return jnp.sum(jnp.where(ci == c, row, 0), axis=0, keepdims=True)
+
+
+def _win0(row, c, K_out):
+    """out[k, l] = row[c + k, l] for k in 0..K_out-1 (masked sum).
+    row [K, BL], dynamic scalar c."""
+    K, BL = row.shape
+    ki = jax.lax.broadcasted_iota(jnp.int32, (K_out, K, BL), 0)
+    si = jax.lax.broadcasted_iota(jnp.int32, (K_out, K, BL), 1)
+    return jnp.sum(jnp.where(si == ki + c, row[None], 0), axis=1)
+
+
+def _aligned8(x):
+    return pl.multiple_of((x // 8) * 8, 8)
+
+
+def _xload(ref, y0, ny, x0, c, nx):
+    """ref[y0:y0+ny, x0+c : x0+c+nx, :] as int32, where x0 is a dynamic
+    multiple of 4 and c is a static 0/1: loads at align8(x0) and selects
+    between the +0 and +4 residues."""
+    xb = _aligned8(x0)
+    win = ref[pl.ds(y0, ny), pl.ds(xb, nx + 8), :].astype(jnp.int32)
+    return jnp.where(x0 == xb, win[:, c:c + nx, :],
+                     win[:, 4 + c:4 + c + nx, :])
+
+
+def _xstore(ref, y0, ny, x0, c, nx, val, active):
+    """Masked read-modify-write of ref[y0:y0+ny, x0+c : x0+c+nx, :] = val
+    where active (active [1, 1, BL]); x0 dynamic multiple of 4, c static
+    0/1."""
+    xb = _aligned8(x0)
+    win = ref[pl.ds(y0, ny), pl.ds(xb, nx + 8), :]
+    pA = jnp.pad(val, ((0, 0), (c, 8 - c), (0, 0)))
+    pB = jnp.pad(val, ((0, 0), (4 + c, 4 - c), (0, 0)))
+    r0 = x0 == xb
+    placed = jnp.where(r0, pA, pB)
+    start = jnp.where(r0, c, 4 + c)
+    ci = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+    mask = (ci >= start) & (ci < start + nx) & (active != 0)
+    ref[pl.ds(y0, ny), pl.ds(xb, nx + 8), :] = jnp.where(
+        mask, placed.astype(ref.dtype), win)
 
 
 # ---------------------------------------------------------------------------
@@ -244,189 +314,179 @@ def _rep4(a):
 # ---------------------------------------------------------------------------
 
 
-def _candidate(Fo, Zr, Rr, Tr, Mr, TB, ISHOR, n, x0, y0, C, is_chroma,
-               strong):
-    """Evaluate one TU candidate at static (x0, y0), updating Fo in VMEM.
-    Mirrors hevc_tiles._tu_candidate. TB is this size's [35, 3n+1] table
-    (proj | off | frac | filt)."""
-    LB = Fo.shape[0]
-    n4 = n // 4
-    cx0, cy0 = x0 >> 2, y0 >> 2
+def _candidate_body(Fo, Z, R, Tc, Mc, TB, ISHOR, n, x0, y0, C,
+                    is_chroma, strong):
+    """Evaluate one TU candidate of size n at dynamic (x0, y0) — both
+    multiples of 4 — updating the [HF, WF, BL] VMEM block Fo in place.
+    Fo/Z/R/Tc/Mc are VMEM refs. Mirrors hevc_tiles._tu_candidate."""
+    BL = Fo.shape[-1]
+    cx0, cy0 = x0 // 4, y0 // 4
     log2 = n.bit_length() - 1
-    L = 4 * n + 1
-    PROJ = TB[:, 0:n]
-    OFF = TB[:, n:2 * n]
-    FRAC = TB[:, 2 * n:3 * n]
-    FILT = TB[:, 3 * n:3 * n + 1]
+    n4 = n // 4
+    PROJt = TB[0:n]                       # [n, 35]
+    OFFt = TB[n:2 * n]
+    FRACt = TB[2 * n:3 * n]
+    FILTt = TB[3 * n:3 * n + 1]
 
-    tu_here = Tr[:, cy0, cx0]
-    active = tu_here == log2
+    d = pl.ds
+    trow_t = Tc[d(cy0, 1), :, :][0]                           # [C4, BL]
+    tu_here = _col0(trow_t, cx0)                              # [1, BL]
+    active = jnp.where(tu_here == log2, 1, 0)
 
-    @pl.when(jnp.any(active))
+    @pl.when(jnp.max(active) > 0)
     def _():
-        z_org = Zr[:, 1 + cy0, 1 + cx0]
-        lcol = Fo[:, y0 + 1:y0 + 1 + 2 * n, x0].astype(jnp.int32)
-        corner = Fo[:, y0, x0].astype(jnp.int32)
-        trow = Fo[:, y0, x0 + 1:x0 + 1 + 2 * n].astype(jnp.int32)
-        v = jnp.concatenate([_rev(lcol), corner[:, None], trow], axis=-1)
+        # ---- reference samples + availability ----
+        zrows = Z[d(1 + cy0, 2 * n4), :, :]                   # [2n4, WZ, BL]
+        ztop = Z[d(cy0, 1), :, :][0]                          # [WZ, BL]
+        z_org = _col0(zrows[0], 1 + cx0)
+        zl = jnp.sum(jnp.where(jax.lax.broadcasted_iota(
+            jnp.int32, zrows.shape, 1) == cx0, zrows, 0), axis=1)
+        zt = _win0(ztop, 1 + cx0, 2 * n4)
+        zc = _col0(ztop, cx0)
+        a_l = _rep4_0(_rev0(jnp.where(zl < z_org, 1, 0)))
+        a_t = _rep4_0(jnp.where(zt < z_org, 1, 0))
+        a_c = jnp.where(zc < z_org, 1, 0)
+        amask = jnp.concatenate([a_l, a_c, a_t], axis=0)      # [L, BL]
 
-        zl = Zr[:, 1 + cy0:1 + cy0 + 2 * n4, cx0]
-        zt = Zr[:, cy0, 1 + cx0:1 + cx0 + 2 * n4]
-        zc = Zr[:, cy0, cx0]
-        a_l = _rep4(_rev(jnp.where(zl < z_org[:, None], 1, 0)))
-        a_t = _rep4(jnp.where(zt < z_org[:, None], 1, 0))
-        a_c = jnp.where(zc < z_org, 1, 0)[:, None]
-        amask = jnp.concatenate([a_l, a_c, a_t], axis=-1)
+        lwin = _xload(Fo, y0 + 1, 2 * n, x0, 0, 1)            # [2n, 1, BL]
+        lcol = jnp.sum(lwin, axis=1)
+        toprow = _xload(Fo, y0, 1, x0, 0, 2 * n + 1)[0]       # [2n+1, BL]
+        corner = toprow[0:1]
+        trow = toprow[1:]
+        v = jnp.concatenate([_rev0(lcol), corner, trow], axis=0)
 
-        vs = _substitute(v, amask)
-        mode = Mr[:, cy0, cx0]
-        mids = jax.lax.broadcasted_iota(jnp.int32, (LB, 35), 1)
-        oh = jnp.where(mode[:, None] == mids, 1, 0)
-        mode_n = _b3(mode[:, None], n)      # [LB, n, 1] int32
+        vs = _substitute0(v, amask)
+        mrow = Mc[d(cy0, 1), :, :][0]
+        mode = _col0(mrow, cx0)                               # [1, BL]
+        mids = jax.lax.broadcasted_iota(jnp.int32, (35, BL), 0)
+        ohf = (mids == mode).astype(jnp.float32)              # [35, BL]
 
         if not is_chroma and n > 4:
-            v121 = _filter_121(vs)
+            v121 = _filter_121_0(vs)
             if n == 32 and strong:
-                vstr, cond = _strong_filter(vs, n)
-                v121 = jnp.where(cond[:, None] != 0, vstr, v121)
-            fsel = _tsel(oh, FILT)
+                vstr, cond = _strong_filter0(vs, n)
+                v121 = jnp.where(cond != 0, vstr, v121)
+            fsel = _tsel0(FILTt, ohf)                         # [1, BL]
             vf = jnp.where(fsel != 0, v121, vs)
         else:
             vf = vs
 
-        # left-edge (downward) views: one reversal each of the filtered and
-        # unfiltered vectors, reused by main/planar and DC/edge paths
-        left_f = _rev(vf[:, :2 * n])             # vf left[0..2n-1] downward
-        left_s = left_f if vf is vs else _rev(vs[:, :2 * n])
+        left_f = _rev0(vf[:2 * n])            # vf left[0..2n-1] downward
+        left_s = left_f if vf is vs else _rev0(vs[:2 * n])
 
-        # ---- angular prediction ----
-        ishor = _tsel(oh, ISHOR)                 # [LB, 1] int32
-        main = jnp.where(ishor != 0, left_f, vf[:, 2 * n + 1:])
-        proj = _gather_lanes(vf, _tsel(oh, PROJ))
-        zcol = jnp.zeros((LB, 1), jnp.int32)
-        # ext layout: [proj(n) | corner | main(2n) | none]
+        # ---- angular prediction (dual orientation, no transpose) ----
+        ishor = _tsel0(ISHOR, ohf)                            # [1, BL]
+        main = jnp.where(ishor != 0, left_f, vf[2 * n + 1:])  # [2n, BL]
+        proj = _gather0(vf, _tsel0(PROJt, ohf))               # [n, BL]
         ext = jnp.concatenate(
-            [proj, vf[:, 2 * n][:, None], main, zcol], axis=-1)
-        off = _tsel(oh, OFF)                     # [LB, n], window starts
-        frac = _tsel(oh, FRAC)                   # [LB, n]
-        one, _Y = _gather_rows(ext, 1 + off)
-        segs = []
-        ychunk = 4 if n >= 8 else n
-        for yy0 in range(0, n, ychunk):
-            segs.append(one(yy0, min(ychunk, n - yy0), n + 1))
-        seg = jnp.concatenate(segs, axis=1) if len(segs) > 1 else segs[0]
-        f = frac[..., None]
-        ang = ((32 - f) * seg[:, :, :n] + f * seg[:, :, 1:] + 16) >> 5
-        ish_n = _b3(ishor, n)                    # [LB, n, 1] int32
-        ang = jnp.where(ish_n != 0, jnp.swapaxes(ang, -1, -2), ang)
+            [proj, vf[2 * n:2 * n + 1], main,
+             jnp.zeros((1, BL), jnp.int32)], axis=0)          # [3n+2, BL]
+        off = _tsel0(OFFt, ohf)                               # [n, BL]
+        frac = _tsel0(FRACt, ohf)                             # [n, BL]
+        sh = 1 + off
+        segv = _win_rows(ext, sh, n)                          # [n, n+1, BL]
+        f3 = frac[:, None, :]
+        angv = ((32 - f3) * segv[:, :n, :] + f3 * segv[:, 1:, :] + 16) >> 5
+        segh = _win_cols(ext, sh, n)                          # [n+1, n, BL]
+        fx = frac[None]                                       # [1, n, BL]
+        angh = ((32 - fx) * segh[:n] + fx * segh[1:] + 16) >> 5
+        ish3 = ishor[:, None, :]                              # [1, 1, BL]
+        ang = jnp.where(ish3 != 0, angh, angv)
 
-        # ---- planar (mode 0) ----
-        xs = jax.lax.broadcasted_iota(jnp.int32, (LB, n), 1)
-        left = left_f[:, :n + 1]                 # left[0..n] downward
-        top = vf[:, 2 * n + 1:][:, :n + 1]
-        left_n = left[:, :n][:, :, None]         # [LB, n, 1]
-        top_n = top[:, :n][:, None, :]           # [LB, 1, n]
-        planar = ((n - 1 - xs)[:, None, :] * left_n
-                  + (xs + 1)[:, None, :] * _b3(top[:, n:n + 1], n)
-                  + (n - 1 - xs)[:, :, None] * top_n
-                  + (xs + 1)[:, :, None] * _b3(left[:, n:n + 1], n)
+        # ---- planar (mode 0), on the filtered refs ----
+        ys = jax.lax.broadcasted_iota(jnp.int32, (n, n, BL), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (n, n, BL), 1)
+        left = left_f[:n + 1]                                 # [n+1, BL]
+        top = vf[2 * n + 1:3 * n + 2]                         # [n+1, BL]
+        left_y = left[:n][:, None, :]
+        top_x = top[:n][None, :, :]
+        top_n = top[n:n + 1][None]                            # [1, 1, BL]
+        left_n = left[n:n + 1][None]
+        log2 = n.bit_length() - 1
+        planar = ((n - 1 - xs) * left_y + (xs + 1) * top_n
+                  + (n - 1 - ys) * top_x + (ys + 1) * left_n
                   + n) >> (log2 + 1)
 
         # ---- DC (mode 1), unfiltered refs ----
-        dc1 = (jnp.sum(vs[:, n:2 * n], axis=-1, keepdims=True)
-               + jnp.sum(vs[:, 2 * n + 1:3 * n + 1], axis=-1,
-                         keepdims=True)
-               + n) >> (log2 + 1)             # [LB, 1]
-        dcp = _b3(dc1, n) + jnp.zeros((LB, n, n), jnp.int32)
-        rid = jax.lax.broadcasted_iota(jnp.int32, (LB, n, n), 1)
-        cid = jax.lax.broadcasted_iota(jnp.int32, (LB, n, n), 2)
+        dc1 = (jnp.sum(vs[n:2 * n], axis=0, keepdims=True)
+               + jnp.sum(vs[2 * n + 1:3 * n + 1], axis=0, keepdims=True)
+               + n) >> (log2 + 1)                             # [1, BL]
+        dcp = jnp.broadcast_to(dc1[None], (n, n, BL))
         if not is_chroma and n < 32:
-            t_row = vs[:, 2 * n + 1:3 * n + 1]
-            l_col = left_s[:, :n]
+            t_row = vs[2 * n + 1:3 * n + 1]                   # [n, BL]
+            l_col = left_s[:n]
             edge_t = (t_row + 3 * dc1 + 2) >> 2
             edge_l = (l_col + 3 * dc1 + 2) >> 2
-            cornr = (l_col[:, 0:1] + 2 * dc1 + t_row[:, 0:1] + 2) >> 2
-            dcp = jnp.where(rid == 0, edge_t[:, None, :], dcp)
-            dcp = jnp.where(cid == 0, edge_l[:, :, None], dcp)
-            dcp = jnp.where((rid == 0) & (cid == 0), _b3(cornr, n), dcp)
+            cornr = (l_col[0:1] + 2 * dc1 + t_row[0:1] + 2) >> 2
+            dcp = jnp.where(ys == 0, edge_t[None], dcp)
+            dcp = jnp.where(xs == 0, edge_l[:, None, :], dcp)
+            dcp = jnp.where((ys == 0) & (xs == 0), cornr[None], dcp)
 
-        out = jnp.where(mode_n == 0, planar,
-                        jnp.where(mode_n == 1, dcp, ang))
+        mode3 = mode[:, None, :]                              # [1, 1, BL]
+        out = jnp.where(mode3 == 0, planar,
+                        jnp.where(mode3 == 1, dcp, ang))
 
         # pure vertical/horizontal edge filters (luma, n<32)
         if not is_chroma and n < 32:
-            t_row = vs[:, 2 * n + 1:3 * n + 1]
-            l_col = left_s[:, :n]
-            tl = vs[:, 2 * n]
-            ver_col = jnp.clip(((l_col - tl[:, None]) >> 1) + t_row[:, 0:1],
-                               0, 255)
-            hor_row = jnp.clip(((t_row - tl[:, None]) >> 1) + l_col[:, 0:1],
-                               0, 255)
-            out = jnp.where((mode_n == 26) & (cid == 0),
-                            ver_col[:, :, None], out)
-            out = jnp.where((mode_n == 10) & (rid == 0),
-                            hor_row[:, None, :], out)
+            t_row = vs[2 * n + 1:3 * n + 1]
+            l_col = left_s[:n]
+            tl = vs[2 * n:2 * n + 1]
+            ver_col = jnp.clip(((l_col - tl) >> 1) + t_row[0:1], 0, 255)
+            hor_row = jnp.clip(((t_row - tl) >> 1) + l_col[0:1], 0, 255)
+            out = jnp.where((mode3 == 26) & (xs == 0),
+                            ver_col[:, None, :], out)
+            out = jnp.where((mode3 == 10) & (ys == 0),
+                            hor_row[None], out)
 
-        rblk = Rr[:, y0:y0 + n, x0:x0 + n]
+        rblk = _xload(R, y0, n, x0, 0, n)
         rec = jnp.clip(out + rblk, 0, 255)
-        cur = Fo[:, y0 + 1:y0 + 1 + n, x0 + 1:x0 + 1 + n]
-        Fo[:, y0 + 1:y0 + 1 + n, x0 + 1:x0 + 1 + n] = jnp.where(
-            _b3(tu_here[:, None], n) == log2, rec, cur.astype(jnp.int32)
-        ).astype(Fo.dtype)
+        _xstore(Fo, y0 + 1, n, x0, 1, n, rec, active[:, None, :])
 
 
-def _candidate_groups(C, max_tu):
-    """Split the z-order walk at the top-level slots: Mosaic compile time
-    grows superlinearly with kernel size (340 candidates measured >15 min,
-    105 in 28 s at LB=8), and the per-quadrant subtrees are contiguous
-    z-order runs, so chaining one pallas_call per subtree preserves the
-    exact candidate order at ~4x smaller kernels."""
-    cands = _zorder_candidates(C, max_tu)
-    T = min(C, max_tu)
-    nt = C // T
-    if nt == 1:
-        return [cands]
-    per = len(cands) // (nt * nt)
-    return [cands[i * per:(i + 1) * per] for i in range(nt * nt)]
-
-
-def _make_kernel(C, max_tu, is_chroma, strong, group: int):
-    cands = _candidate_groups(C, max_tu)[group]
+def _make_kernel(C, max_tu, is_chroma, strong):
     sizes = tuple(sorted({n for (n, _, _) in
                           _zorder_candidates(C, max_tu)}, reverse=True))
+    NC = len(_zorder_candidates(C, max_tu))
 
-    def kernel(F_ref, Z_ref, R_ref, T_ref, M_ref, *rest):
+    def kernel(tbl_ref, F_ref, Z_ref, R_ref, T_ref, M_ref, *rest):
         tb_refs = rest[:len(sizes) + 1]
         out_ref = rest[len(sizes) + 1]
         out_ref[...] = F_ref[...]
-        Z = Z_ref[...]
-        R = R_ref[...]
-        T = T_ref[...]
-        M = M_ref[...]
-        tbs = {n: tb_refs[i][...] for i, n in enumerate(sizes)}
+        tbs = [tb_refs[i][...] for i in range(len(sizes))]
         ishor = tb_refs[len(sizes)][...]
-        for (n, x0, y0) in cands:
-            _candidate(out_ref, Z, R, T, M, tbs[n], ishor, n, x0, y0,
-                       C, is_chroma, strong)
+
+        def body(i, carry):
+            cls = tbl_ref[i, 0]
+            x0 = tbl_ref[i, 1]
+            y0 = tbl_ref[i, 2]
+            for k, n in enumerate(sizes):
+                @pl.when(cls == k)
+                def _(n=n, k=k):
+                    _candidate_body(out_ref, Z_ref, R_ref, T_ref, M_ref,
+                                    tbs[k], ishor, n, x0, y0, C,
+                                    is_chroma, strong)
+            return carry
+
+        jax.lax.fori_loop(0, NC, body, 0)
     return kernel, sizes
 
 
 @functools.lru_cache(maxsize=64)
-def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ, fdt_name,
-               lane_block, interpret, group):
-    fdt = jnp.dtype(fdt_name)
-    kernel, sizes = _make_kernel(C, max_tu, is_chroma, strong, group)
+def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ,
+               lane_block, interpret):
+    kernel, sizes = _make_kernel(C, max_tu, is_chroma, strong)
     tbls_np, _ = _pack_tables(sizes)
+    tbl_np = _cand_table(C, max_tu, sizes)
     C4 = C // 4
     grid = (B // lane_block,)
     bs = lambda shape: pl.BlockSpec(
-        (lane_block,) + shape, lambda i: (i,) + (0,) * len(shape),
+        shape + (lane_block,), lambda i: (0,) * len(shape) + (i,),
         memory_space=pltpu.VMEM)
-    tbl_specs = [pl.BlockSpec(t.shape, lambda i: (0, 0),
-                              memory_space=pltpu.VMEM) for t in tbls_np]
+    tbl_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    mode_specs = [pl.BlockSpec(t.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM) for t in tbls_np]
 
-    import os
-    vmem_mb = int(os.environ.get("JMX_PALLAS_VMEM_MB", "96"))
+    vmem_mb = int(os.environ.get("JMX_PALLAS_VMEM_MB", "110"))
     params = pltpu.CompilerParams(
         vmem_limit_bytes=vmem_mb * 1024 * 1024)
 
@@ -434,50 +494,50 @@ def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ, fdt_name,
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[bs((HF, WF)), bs((HZ, WZ)), bs((C, C)),
-                      bs((C4, C4)), bs((C4, C4))] + tbl_specs,
+            in_specs=[tbl_spec, bs((HF, WF)), bs((HZ, WZ)), bs((C, C + 8)),
+                      bs((C4, C4)), bs((C4, C4))] + mode_specs,
             out_specs=bs((HF, WF)),
-            out_shape=jax.ShapeDtypeStruct((B, HF, WF), fdt),
-            input_output_aliases={0: 0},
+            out_shape=jax.ShapeDtypeStruct((HF, WF, B), jnp.int32),
+            input_output_aliases={1: 0},
             compiler_params=params,
             interpret=bool(interpret),
-        )(F, Z, resid, tu, mode, *[jnp.asarray(t) for t in tbls_np])
+        )(jnp.asarray(tbl_np), F, Z, resid, tu, mode,
+          *[jnp.asarray(t) for t in tbls_np])
     return run
 
 
-def _pick_lane_block(B, fdt):
-    """Lane block size: as large as the VMEM budget allows (the walk()
-    wrapper pads B up to a multiple)."""
-    import os
-    cap = int(os.environ.get("JMX_PALLAS_LB", "8"))
+def _pick_lane_block(B):
+    cap = int(os.environ.get("JMX_PALLAS_BL", "128"))
     return min(cap, max(8, _cdiv(B, 8) * 8))
 
 
 def make_pallas_walk(C: int, max_tu: int, is_chroma: bool, strong: bool):
     """Drop-in replacement for hevc_tiles._make_walk(...): returns
-    walk(F, Z, resid, tu_t, mode_t, idx=None) -> F. The idx planes are
+    walk(F, Z, resid, tu_t, mode_t, idx=None) -> F (lane-first [B, H, W]
+    in/out; transposed to lane-last around the kernel). The idx planes are
     ignored (mode tables are static kernel constants)."""
 
     def walk(F, Z, resid, tu_t, mode_t, idx=None):
         B, HF, WF = F.shape
         HZ, WZ = Z.shape[1], Z.shape[2]
         interpret = jax.default_backend() != "tpu"
-        lb = _pick_lane_block(B, F.dtype)
+        lb = _pick_lane_block(B)
         pad = (-B) % lb
         if pad:
             zpad = lambda a: jnp.concatenate(
                 [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
             F, Z, resid, tu_t, mode_t = map(
                 zpad, (F, Z, resid, tu_t, mode_t))
-        Zi = Z.astype(jnp.int32)
-        Ri = resid.astype(jnp.int32)
-        Ti = tu_t.astype(jnp.int32)
-        Mi = mode_t.astype(jnp.int32)
-        n_groups = len(_candidate_groups(C, max_tu))
-        out = F
-        for grp in range(n_groups):
-            run = _walk_call(C, max_tu, is_chroma, strong, B + pad, HF, WF,
-                             HZ, WZ, F.dtype.name, lb, interpret, grp)
-            out = run(out, Zi, Ri, Ti, Mi)
+        tl = lambda a: jnp.transpose(a, (1, 2, 0))
+        Ft = tl(F).astype(jnp.int32)
+        Zi = tl(Z.astype(jnp.int32))
+        # +8 columns so the 8-aligned residual window loads stay in bounds
+        Ri = tl(jnp.pad(resid.astype(jnp.int32), ((0, 0), (0, 0), (0, 8))))
+        Ti = tl(tu_t.astype(jnp.int32))
+        Mi = tl(mode_t.astype(jnp.int32))
+        run = _walk_call(C, max_tu, is_chroma, strong, B + pad, HF, WF,
+                         HZ, WZ, lb, interpret)
+        out = run(Ft, Zi, Ri, Ti, Mi)
+        out = jnp.transpose(out, (2, 0, 1)).astype(F.dtype)
         return out[:B] if pad else out
     return walk

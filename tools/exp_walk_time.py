@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Per-size timing driver for the Pallas HEVC walk kernel: isolates the
+per-candidate VPU cost of each TU size class (sizes filter), at bench-like
+lane counts, with steady-state reps (compile excluded).
+
+Usage: python tools/exp_walk_time.py [sizes] [B] [reps]
+"""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jmcodec_tpu.kernels import hevc_walk_pallas as W
+
+sizes_keep = None
+if len(sys.argv) > 1 and sys.argv[1] != "all":
+    sizes_keep = {int(s) for s in sys.argv[1].split(",")}
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+C = int(os.environ.get("JMX_C", "64"))
+max_tu = 32 if C == 64 else 16
+
+n_cands_all = len(W._zorder_candidates(C, max_tu))
+if sizes_keep is not None:
+    import jmcodec_tpu.kernels.hevc_tiles as HT
+    orig = HT._zorder_candidates
+
+    def filt(C_, mt):
+        return [c for c in orig(C_, mt) if c[0] in sizes_keep]
+    W._zorder_candidates = lambda C_, mt: filt(C_, mt)
+    n_cands = len(filt(C, max_tu))
+else:
+    n_cands = n_cands_all
+
+PB = min(C, max_tu)
+HF, WF = 1 + C + PB, 1 + 2 * C
+C4 = C // 4
+HZ, WZ = 1 + C4 + PB // 4, 1 + 2 * C4
+
+walk = W.make_pallas_walk(C, max_tu, False, True)
+rng = np.random.RandomState(0)
+F = jnp.asarray(rng.randint(0, 255, (B, HF, WF)).astype(np.int32))
+Z = jnp.asarray(rng.randint(0, 50, (B, HZ, WZ)).astype(np.int32))
+R = jnp.asarray(rng.randint(-10, 10, (B, C, C)).astype(np.int32))
+# make every candidate active: tu log2 plane cycling through sizes
+tu_np = np.zeros((B, C4, C4), np.int32)
+sz = min(sizes_keep) if sizes_keep else 4
+tu_np[:] = int(np.log2(sz))
+T = jnp.asarray(tu_np)
+M = jnp.asarray(rng.randint(0, 35, (B, C4, C4)).astype(np.int32))
+
+t0 = time.time()
+f = jax.jit(lambda *a: walk(*a))
+out = f(F, Z, R, T, M)
+out.block_until_ready()
+print(f"compile+first {time.time()-t0:.1f}s sum={int(jnp.sum(out))}",
+      flush=True)
+best = 1e9
+for r in range(reps):
+    t0 = time.time()
+    out = f(F, Z, R, T, M)
+    out.block_until_ready()
+    dt = time.time() - t0
+    best = min(best, dt)
+print(f"sizes={sorted(sizes_keep) if sizes_keep else 'all'} B={B} "
+      f"cands={n_cands} best={best*1000:.2f} ms "
+      f"us_per_cand_per_8lanes={best/n_cands/max(B//8,1)*1e6:.1f}",
+      flush=True)

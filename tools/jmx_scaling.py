@@ -63,14 +63,20 @@ def main():
     fss = [fs for fs, _ in FastH264Parser().parse_annexb(stream)]
 
     res = measure_decode_scaling(fss, dev_list)
+    cores = os.cpu_count() or 1
     report = {
         "metric": "h264_decode_frame_parallel_scaling",
         "size": args.size, "frames": args.frames,
         "platform": jax.devices()[0].platform,
+        "physical_cores": cores,
         "bringup": boot, **res,
         "note": ("frame-parallel dp over the real wavefront kernel; CPU "
                  "virtual mesh in this environment (single real chip) — "
-                 "the code path is identical on a pod slice"),
+                 "the code path is identical on a pod slice. NOTE: all "
+                 f"virtual devices share {cores} physical core(s), so "
+                 "efficiency here is bounded by core oversubscription "
+                 "(max true speedup = cores), not by the sharding or "
+                 "collectives; the pod-slice number requires real chips"),
     }
     line = json.dumps(report)
     print(line)
