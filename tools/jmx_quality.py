@@ -154,6 +154,8 @@ def main():
     ap.add_argument("--bitrate", type=int, default=0,
                     help="bitrate-matched mode (kbps) instead of QP sweep")
     ap.add_argument("--fps", type=int, default=30)
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON result to this file")
     args = ap.parse_args()
     W, H = map(int, args.size.split("x"))
 
@@ -177,10 +179,16 @@ def main():
     if args.bitrate:
         r = run_bitrate_matched(frames, W, H, args.bitrate, args.fps,
                                 args.gop, args.engine)
+        r["size"] = args.size
+        r["engine"] = args.engine
         print(f"target {r['target_kbps']} kbps: "
               f"ours {r['ours_psnr']:.2f} dB @ {r['ours_kbps']} kbps | "
               f"x264 {r['x264_psnr']:.2f} dB @ {r['x264_kbps']} kbps")
-        print(json.dumps(r))
+        line = json.dumps(r)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
         return
 
     rows = []
@@ -198,9 +206,13 @@ def main():
                      [r["ours_psnr"] for r in rows])
         print(f"BD-rate vs x264 (medium, CQP): {bd:+.1f}% "
               f"(negative = we need fewer bits for equal PSNR)")
-    print(json.dumps({"points": rows, "bd_rate_vs_x264_pct":
-                      None if math.isnan(bd) else round(bd, 1),
-                      "engine": args.engine}))
+    line = json.dumps({"points": rows, "bd_rate_vs_x264_pct":
+                       None if math.isnan(bd) else round(bd, 1),
+                       "size": args.size, "engine": args.engine})
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
