@@ -121,21 +121,31 @@ def _cand_table(C: int, max_tu: int, sizes):
 # ---------------------------------------------------------------------------
 
 
-def _rev0(a):
-    """Reverse along axis 0 via an anti-diagonal masked sum (robust under
-    Mosaic: no sublane-dim reshapes). a [K, BL]."""
+def _rev0(a, chunk=8):
+    """Reverse along axis 0 via an anti-diagonal masked sum, chunked over
+    output rows to bound the [rows, K, BL] temporary (robust under Mosaic:
+    no sublane-dim reshapes). a [K, BL]."""
     K, BL = a.shape
-    ji = jax.lax.broadcasted_iota(jnp.int32, (K, K, BL), 0)
-    ki = jax.lax.broadcasted_iota(jnp.int32, (K, K, BL), 1)
-    return jnp.sum(jnp.where(ji + ki == K - 1, a[None], 0), axis=1)
+    outs = []
+    for j0 in range(0, K, chunk):
+        cj = min(chunk, K - j0)
+        ji = j0 + jax.lax.broadcasted_iota(jnp.int32, (cj, K, BL), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (cj, K, BL), 1)
+        outs.append(jnp.sum(jnp.where(ji + ki == K - 1, a[None], 0), axis=1))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-def _rep4_0(a):
-    """Repeat each row 4x along axis 0: [K, BL] -> [4K, BL] (masked sum)."""
+def _rep4_0(a, chunk=16):
+    """Repeat each row 4x along axis 0: [K, BL] -> [4K, BL] (masked sum,
+    chunked over output rows)."""
     K, BL = a.shape
-    ji = jax.lax.broadcasted_iota(jnp.int32, (4 * K, K, BL), 0)
-    ki = jax.lax.broadcasted_iota(jnp.int32, (4 * K, K, BL), 1)
-    return jnp.sum(jnp.where((ji >> 2) == ki, a[None], 0), axis=1)
+    outs = []
+    for j0 in range(0, 4 * K, chunk):
+        cj = min(chunk, 4 * K - j0)
+        ji = j0 + jax.lax.broadcasted_iota(jnp.int32, (cj, K, BL), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (cj, K, BL), 1)
+        outs.append(jnp.sum(jnp.where((ji >> 2) == ki, a[None], 0), axis=1))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 def _shift_r0(a, k, fill):
@@ -213,7 +223,7 @@ def _tsel0(Tt, ohf):
     return r.astype(jnp.int32)
 
 
-def _gather0(v, idx, chunk=8):
+def _gather0(v, idx, chunk=4):
     """Per-lane gather along axis 0: out[k, l] = v[idx[k, l], l], 0 where
     idx < 0 or >= L. v [L, BL], idx [K, BL] -> [K, BL]."""
     L, BL = v.shape
@@ -228,38 +238,50 @@ def _gather0(v, idx, chunk=8):
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-def _win_rows(ext, sh, n):
+def _win_rows(ext, sh, n, chunk=8):
     """seg[m, p, l] = ext[sh[m, l] + p] for p in 0..n: per-row variable
-    shift along axis 1, in log2(max shift) select+shift passes.
+    shift along axis 1, in log2(max shift) select+shift passes (chunked
+    over rows to bound the [rows, S, BL] broadcast temporary in VMEM).
     ext [S, BL], sh [n, BL] (values 1..2n+1) -> [n, n+1, BL]."""
     S, BL = ext.shape
-    T = jnp.broadcast_to(ext[None], (n, S, BL))
     maxsh = 2 * n + 1
-    b = 1
-    while b <= maxsh:
-        shifted = jnp.concatenate(
-            [T[:, b:, :], jnp.zeros((n, b, BL), T.dtype)], axis=1)
-        T = jnp.where(((sh >> (b.bit_length() - 1)) & 1)[:, None, :] != 0,
-                      shifted, T)
-        b *= 2
-    return T[:, :n + 1, :]
+    outs = []
+    for m0 in range(0, n, chunk):
+        cm = min(chunk, n - m0)
+        T = jnp.broadcast_to(ext[None], (cm, S, BL))
+        shc = sh[m0:m0 + cm]
+        b = 1
+        while b <= maxsh:
+            shifted = jnp.concatenate(
+                [T[:, b:, :], jnp.zeros((cm, b, BL), T.dtype)], axis=1)
+            T = jnp.where(
+                ((shc >> (b.bit_length() - 1)) & 1)[:, None, :] != 0,
+                shifted, T)
+            b *= 2
+        outs.append(T[:, :n + 1, :])
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-def _win_cols(ext, sh, n):
+def _win_cols(ext, sh, n, chunk=8):
     """T2[p, m, l] = ext[p + sh[m, l]] for p in 0..n: the transposed-roles
-    variant for horizontal modes (shift along axis 0, per-column amounts).
-    ext [S, BL], sh [n, BL] -> [n+1, n, BL]."""
+    variant for horizontal modes (shift along axis 0, per-column amounts),
+    chunked over columns. ext [S, BL], sh [n, BL] -> [n+1, n, BL]."""
     S, BL = ext.shape
-    T = jnp.broadcast_to(ext[:, None, :], (S, n, BL))
     maxsh = 2 * n + 1
-    b = 1
-    while b <= maxsh:
-        shifted = jnp.concatenate(
-            [T[b:], jnp.zeros((b, n, BL), T.dtype)], axis=0)
-        T = jnp.where(((sh >> (b.bit_length() - 1)) & 1)[None] != 0,
-                      shifted, T)
-        b *= 2
-    return T[:n + 1]
+    outs = []
+    for m0 in range(0, n, chunk):
+        cm = min(chunk, n - m0)
+        T = jnp.broadcast_to(ext[:, None, :], (S, cm, BL))
+        shc = sh[m0:m0 + cm]
+        b = 1
+        while b <= maxsh:
+            shifted = jnp.concatenate(
+                [T[b:], jnp.zeros((b, cm, BL), T.dtype)], axis=0)
+            T = jnp.where(((shc >> (b.bit_length() - 1)) & 1)[None] != 0,
+                          shifted, T)
+            b *= 2
+        outs.append(T[:n + 1])
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
 def _col0(row, c):
@@ -278,34 +300,43 @@ def _win0(row, c, K_out):
     return jnp.sum(jnp.where(si == ki + c, row[None], 0), axis=1)
 
 
-def _aligned8(x):
-    return pl.multiple_of((x // 8) * 8, 8)
+# Sublane-dim dynamic offsets must be provably aligned; ALIGN covers the
+# int16 F composite (8 was accepted by Mosaic for i16 loads).
+ALIGN = int(os.environ.get("JMX_PALLAS_ALIGN", "8"))
+
+
+def _alignedA(x):
+    return pl.multiple_of((x // ALIGN) * ALIGN, ALIGN)
 
 
 def _xload(ref, y0, ny, x0, c, nx):
     """ref[y0:y0+ny, x0+c : x0+c+nx, :] as int32, where x0 is a dynamic
-    multiple of 4 and c is a static 0/1: loads at align8(x0) and selects
-    between the +0 and +4 residues."""
-    xb = _aligned8(x0)
-    win = ref[pl.ds(y0, ny), pl.ds(xb, nx + 8), :].astype(jnp.int32)
-    return jnp.where(x0 == xb, win[:, c:c + nx, :],
-                     win[:, 4 + c:4 + c + nx, :])
+    multiple of 4 and c is a static 0/1: loads at alignA(x0) and selects
+    among the possible residues (all multiples of 4)."""
+    xb = _alignedA(x0)
+    win = ref[pl.ds(y0, ny), pl.ds(xb, nx + ALIGN), :].astype(jnp.int32)
+    out = win[:, c:c + nx, :]
+    for r in range(4, ALIGN, 4):
+        out = jnp.where(x0 - xb == r, win[:, r + c:r + c + nx, :], out)
+    return out
 
 
 def _xstore(ref, y0, ny, x0, c, nx, val, active):
     """Masked read-modify-write of ref[y0:y0+ny, x0+c : x0+c+nx, :] = val
     where active (active [1, 1, BL]); x0 dynamic multiple of 4, c static
     0/1."""
-    xb = _aligned8(x0)
-    win = ref[pl.ds(y0, ny), pl.ds(xb, nx + 8), :]
-    pA = jnp.pad(val, ((0, 0), (c, 8 - c), (0, 0)))
-    pB = jnp.pad(val, ((0, 0), (4 + c, 4 - c), (0, 0)))
-    r0 = x0 == xb
-    placed = jnp.where(r0, pA, pB)
-    start = jnp.where(r0, c, 4 + c)
+    xb = _alignedA(x0)
+    win = ref[pl.ds(y0, ny), pl.ds(xb, nx + ALIGN), :]
+    res = x0 - xb
+    placed = jnp.pad(val, ((0, 0), (c, ALIGN - c), (0, 0)))
+    for r in range(4, ALIGN, 4):
+        placed = jnp.where(
+            res == r,
+            jnp.pad(val, ((0, 0), (r + c, ALIGN - r - c), (0, 0))), placed)
+    start = res + c
     ci = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
     mask = (ci >= start) & (ci < start + nx) & (active != 0)
-    ref[pl.ds(y0, ny), pl.ds(xb, nx + 8), :] = jnp.where(
+    ref[pl.ds(y0, ny), pl.ds(xb, nx + ALIGN), :] = jnp.where(
         mask, placed.astype(ref.dtype), win)
 
 
@@ -451,7 +482,16 @@ def _make_kernel(C, max_tu, is_chroma, strong):
     def kernel(tbl_ref, F_ref, Z_ref, R_ref, T_ref, M_ref, *rest):
         tb_refs = rest[:len(sizes) + 1]
         out_ref = rest[len(sizes) + 1]
-        out_ref[...] = F_ref[...]
+        sem = rest[len(sizes) + 2]
+        # F stays in HBM (ANY): DMA this grid block's lanes straight into
+        # the output VMEM block — saves a whole F-sized VMEM input block
+        # (the kernel walks in place on out_ref)
+        i = pl.program_id(0)
+        BL = out_ref.shape[-1]
+        dma = pltpu.make_async_copy(
+            F_ref.at[:, :, pl.ds(i * BL, BL)], out_ref, sem)
+        dma.start()
+        dma.wait()
         tbs = [tb_refs[i][...] for i in range(len(sizes))]
         ishor = tb_refs[len(sizes)][...]
 
@@ -482,11 +522,12 @@ def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ,
     bs = lambda shape: pl.BlockSpec(
         shape + (lane_block,), lambda i: (0,) * len(shape) + (i,),
         memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     tbl_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     mode_specs = [pl.BlockSpec(t.shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM) for t in tbls_np]
 
-    vmem_mb = int(os.environ.get("JMX_PALLAS_VMEM_MB", "110"))
+    vmem_mb = int(os.environ.get("JMX_PALLAS_VMEM_MB", "15"))
     params = pltpu.CompilerParams(
         vmem_limit_bytes=vmem_mb * 1024 * 1024)
 
@@ -494,11 +535,11 @@ def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ,
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[tbl_spec, bs((HF, WF)), bs((HZ, WZ)), bs((C, C + 8)),
+            in_specs=[tbl_spec, f_spec, bs((HZ, WZ)), bs((C, C + ALIGN)),
                       bs((C4, C4)), bs((C4, C4))] + mode_specs,
             out_specs=bs((HF, WF)),
-            out_shape=jax.ShapeDtypeStruct((HF, WF, B), jnp.int32),
-            input_output_aliases={1: 0},
+            out_shape=jax.ShapeDtypeStruct((HF, WF, B), jnp.int16),
+            scratch_shapes=[pltpu.SemaphoreType.DMA],
             compiler_params=params,
             interpret=bool(interpret),
         )(jnp.asarray(tbl_np), F, Z, resid, tu, mode,
@@ -506,9 +547,13 @@ def _walk_call(C, max_tu, is_chroma, strong, B, HF, WF, HZ, WZ,
     return run
 
 
-def _pick_lane_block(B):
-    cap = int(os.environ.get("JMX_PALLAS_BL", "128"))
-    return min(cap, max(8, _cdiv(B, 8) * 8))
+def _pick_lane_block(B, interpret):
+    """TPU lane blocks must be multiples of 128 (DMA lane-dim tiling);
+    interpret mode (CPU tests) keeps blocks small for speed."""
+    if interpret:
+        return min(128, max(8, _cdiv(B, 8) * 8))
+    cap = max(128, int(os.environ.get("JMX_PALLAS_BL", "128")) // 128 * 128)
+    return cap
 
 
 def make_pallas_walk(C: int, max_tu: int, is_chroma: bool, strong: bool):
@@ -521,7 +566,7 @@ def make_pallas_walk(C: int, max_tu: int, is_chroma: bool, strong: bool):
         B, HF, WF = F.shape
         HZ, WZ = Z.shape[1], Z.shape[2]
         interpret = jax.default_backend() != "tpu"
-        lb = _pick_lane_block(B)
+        lb = _pick_lane_block(B, interpret)
         pad = (-B) % lb
         if pad:
             zpad = lambda a: jnp.concatenate(
@@ -529,15 +574,26 @@ def make_pallas_walk(C: int, max_tu: int, is_chroma: bool, strong: bool):
             F, Z, resid, tu_t, mode_t = map(
                 zpad, (F, Z, resid, tu_t, mode_t))
         tl = lambda a: jnp.transpose(a, (1, 2, 0))
-        Ft = tl(F).astype(jnp.int32)
+        # F rides VMEM as int16 (lossless: pixel composites are 0..255);
+        # the kernel upcasts to int32 at every load. Its W axis pads to a
+        # multiple of 8 so the HBM->VMEM lane-block DMA slice is
+        # tile-aligned in the sublane dim.
+        WFp = -(-WF // 8) * 8
+        Ft = tl(jnp.pad(F, ((0, 0), (0, 0), (0, WFp - WF)))
+                ).astype(jnp.int16)
         Zi = tl(Z.astype(jnp.int32))
-        # +8 columns so the 8-aligned residual window loads stay in bounds
-        Ri = tl(jnp.pad(resid.astype(jnp.int32), ((0, 0), (0, 0), (0, 8))))
+        # +ALIGN columns so aligned residual window loads stay in bounds.
+        # Residuals ride VMEM as int16: the spec's inverse-transform output
+        # is 16-bit clipped, and even for out-of-range values saturation is
+        # invisible through the final clip(pred + resid, 0, 255) since
+        # pred is 0..255 and |resid| >= 256 already saturates the output.
+        Ri = tl(jnp.pad(jnp.clip(resid, -32768, 32767).astype(jnp.int16),
+                        ((0, 0), (0, 0), (0, ALIGN))))
         Ti = tl(tu_t.astype(jnp.int32))
         Mi = tl(mode_t.astype(jnp.int32))
-        run = _walk_call(C, max_tu, is_chroma, strong, B + pad, HF, WF,
+        run = _walk_call(C, max_tu, is_chroma, strong, B + pad, HF, WFp,
                          HZ, WZ, lb, interpret)
         out = run(Ft, Zi, Ri, Ti, Mi)
-        out = jnp.transpose(out, (2, 0, 1)).astype(F.dtype)
+        out = jnp.transpose(out, (2, 0, 1)).astype(F.dtype)[:, :, :WF]
         return out[:B] if pad else out
     return walk

@@ -24,6 +24,12 @@ def log(*a):
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     W, H = 1920, 1080
+    cache = os.environ.get("JMX_XLA_CACHE")
+    if cache:
+        import jax
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
     from bench import make_test_stream
     from jmcodec_tpu import native

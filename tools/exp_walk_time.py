@@ -46,14 +46,34 @@ F = jnp.asarray(rng.randint(0, 255, (B, HF, WF)).astype(np.int32))
 Z = jnp.asarray(rng.randint(0, 50, (B, HZ, WZ)).astype(np.int32))
 R = jnp.asarray(rng.randint(-10, 10, (B, C, C)).astype(np.int32))
 # make every candidate active: tu log2 plane cycling through sizes
+# (JMX_WT_INACTIVE=1 zeroes it to measure the per-candidate skip cost)
 tu_np = np.zeros((B, C4, C4), np.int32)
 sz = min(sizes_keep) if sizes_keep else 4
-tu_np[:] = int(np.log2(sz))
+if os.environ.get("JMX_WT_INACTIVE") != "1":
+    tu_np[:] = int(np.log2(sz))
 T = jnp.asarray(tu_np)
 M = jnp.asarray(rng.randint(0, 35, (B, C4, C4)).astype(np.int32))
 
+# JMX_WT_STEPS wraps the walk in a lax.scan of that many steps inside ONE
+# dispatch: the tunneled TPU costs ~25 ms per dispatch, so only in-program
+# step counts measure the kernel itself. JMX_WT_NOKERNEL=1 replaces the
+# kernel with the identity to isolate the per-step XLA glue (transposes).
+steps = int(os.environ.get("JMX_WT_STEPS", "0"))
+if os.environ.get("JMX_WT_NOKERNEL") == "1":
+    walk = lambda F, Z, R, T, M: jnp.transpose(jnp.transpose(
+        F, (1, 2, 0)).astype(jnp.int16), (2, 0, 1)).astype(F.dtype)
+
+if steps:
+    def f_raw(F, Z, R, T, M):
+        def body(Fc, _):
+            return walk(Fc, Z, R, T, M), ()
+        out, _ = jax.lax.scan(body, F, None, length=steps)
+        return out
+else:
+    f_raw = lambda *a: walk(*a)
+
 t0 = time.time()
-f = jax.jit(lambda *a: walk(*a))
+f = jax.jit(f_raw)
 out = f(F, Z, R, T, M)
 out.block_until_ready()
 print(f"compile+first {time.time()-t0:.1f}s sum={int(jnp.sum(out))}",
@@ -65,7 +85,7 @@ for r in range(reps):
     out.block_until_ready()
     dt = time.time() - t0
     best = min(best, dt)
+per = best / max(steps, 1)
 print(f"sizes={sorted(sizes_keep) if sizes_keep else 'all'} B={B} "
-      f"cands={n_cands} best={best*1000:.2f} ms "
-      f"us_per_cand_per_8lanes={best/n_cands/max(B//8,1)*1e6:.1f}",
-      flush=True)
+      f"cands={n_cands} steps={steps} best={best*1000:.2f} ms "
+      f"per_step={per*1000:.3f} ms", flush=True)
