@@ -53,10 +53,12 @@ def bench_hevc(W, H, N, reps=3):
     from jmcodec_tpu.codec.hevc.refdec import _substream_offsets
     from jmcodec_tpu.codec.hevc.slicehdr import parse_slice_header
     from jmcodec_tpu.kernels.hevc_tiles import (decode_frames_hevc_batch,
-                                                stack_plans)
+                                                resolve_walk, stack_plans)
 
     stream = make_test_stream(W, H, N, qp=30, codec="libx265")
-    log(f"hevc bench stream: {len(stream)/1024:.0f} KB, {N} frames {W}x{H}")
+    walk = resolve_walk()
+    log(f"hevc bench stream: {len(stream)/1024:.0f} KB, {N} frames {W}x{H} "
+        f"(walk={walk})")
 
     sps = {}
     pps = {}
@@ -88,7 +90,7 @@ def bench_hevc(W, H, N, reps=3):
         f"ms/frame")
     t0 = time.time()
     args = stack_plans(plans)
-    out = decode_frames_hevc_batch(*args)
+    out = decode_frames_hevc_batch(*args, walk=walk)
     _ = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
     log(f"compile+first batch: {time.time()-t0:.1f}s")
 
@@ -98,12 +100,12 @@ def bench_hevc(W, H, N, reps=3):
         t0 = time.time()
         plans = list(pool.map(parse_one, slices))
         args = stack_plans(plans)
-        out = decode_frames_hevc_batch(*args)
+        out = decode_frames_hevc_batch(*args, walk=walk)
         checksum = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
         dt = time.time() - t0
         # compute-only: plan tensors already device-resident (args)
         t1 = time.time()
-        out = decode_frames_hevc_batch(*args)
+        out = decode_frames_hevc_batch(*args, walk=walk)
         checksum = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
         dtc = time.time() - t1
         log(f"hevc rep {rep}: e2e {dt*1000:.0f} ms = {N/dt:.2f} fps | "
@@ -260,30 +262,47 @@ def bench_hevc_inter_session(W, H, N, reps=2):
         open(tag, "wb").write(stream)
     log(f"hevc inter stream: {len(stream)/1024:.0f} KB ({N} pics IPPP)")
 
+    import jax
+    from jmcodec_tpu.utils.metrics import timers
+
     def run():
+        # consume via the device-frame API (transcode-style on-chip
+        # pipeline; this dev tunnel's D2H path would otherwise dominate)
         sess = DecoderSession(codec=Codec.HEVC)
-        n = 0
+        frames = []
         pos = 0
         while pos < len(stream):
             take = sess.input_data(stream[pos:pos + (1 << 20)])
             pos += take
-            while sess.get_frame() is not None:
-                n += 1
+            while True:
+                fr = sess.get_frame_device()
+                if fr is None:
+                    break
+                frames.append(fr[0])
         sess.set_eof()
-        while sess.get_frame() is not None:
-            n += 1
-        return n
+        while True:
+            fr = sess.get_frame_device()
+            if fr is None:
+                break
+            frames.append(fr[0])
+        jax.block_until_ready(frames)
+        return len(frames)
 
     n = run()  # compile warmup
     best = 0.0
+    stages = {}
     for rep in range(reps):
+        s0 = timers.snapshot()
         t0 = time.time()
         n = run()
         dt = time.time() - t0
+        s1 = timers.snapshot()
+        stages = {k: round((s1[k] - s0.get(k, 0)) * 1000, 1)
+                  for k in s1 if s1[k] - s0.get(k, 0) > 1e-4}
         log(f"hevc inter session rep {rep}: {dt*1000:.0f} ms = "
-            f"{n/dt:.2f} fps")
+            f"{n/dt:.2f} fps stages={stages}")
         best = max(best, n / dt)
-    return best
+    return best, stages
 
 
 def bench_h264_cabac_session(W, H, N, reps=2):
@@ -312,32 +331,47 @@ def bench_h264_cabac_session(W, H, N, reps=2):
                                extra="cabac=1")
     log(f"h264 cabac session stream: {len(stream)/1024:.0f} KB ({N} pics)")
 
+    import jax
+    from jmcodec_tpu.utils.metrics import timers
+
     def run():
         sess = DecoderSession(codec=Codec.H264)
-        n = 0
+        frames = []
         pos = 0
         while pos < len(stream):
             take = sess.input_data(stream[pos:pos + (1 << 20)])
             pos += take
-            while sess.get_frame() is not None:
-                n += 1
+            while True:
+                fr = sess.get_frame_device()
+                if fr is None:
+                    break
+                frames.append(fr[0])
         sess.set_eof()
-        while sess.get_frame() is not None:
-            n += 1
-        return n
+        while True:
+            fr = sess.get_frame_device()
+            if fr is None:
+                break
+            frames.append(fr[0])
+        jax.block_until_ready(frames)
+        return len(frames)
 
     before = counters.get("frames_device")
     n = run()  # compile warmup
     on_device = counters.get("frames_device") - before >= n
     best = 0.0
+    stages = {}
     for rep in range(reps):
+        s0 = timers.snapshot()
         t0 = time.time()
         n = run()
         dt = time.time() - t0
+        s1 = timers.snapshot()
+        stages = {k: round((s1[k] - s0.get(k, 0)) * 1000, 1)
+                  for k in s1 if s1[k] - s0.get(k, 0) > 1e-4}
         log(f"cabac session rep {rep}: {dt*1000:.0f} ms = {n/dt:.2f} fps "
-            f"(device={on_device})")
+            f"(device={on_device}) stages={stages}")
         best = max(best, n / dt)
-    return best, on_device
+    return best, on_device, stages
 
 
 def main():
@@ -361,8 +395,9 @@ def main():
     hevc_fps, hevc_dev_fps, hevc_exact = bench_hevc(W, H, N)
     h264_fps, h264_dev_fps = bench_h264(W, H, N)
     h264_inter_fps = bench_h264_inter(W, H, N)
-    cabac_fps, cabac_on_device = bench_h264_cabac_session(W, H, N)
-    hevc_inter_fps = bench_hevc_inter_session(W, H, N)
+    cabac_fps, cabac_on_device, cabac_stages = \
+        bench_h264_cabac_session(W, H, N)
+    hevc_inter_fps, hevc_inter_stages = bench_hevc_inter_session(W, H, N)
 
     # Roofline/MFU context (BASELINE asks "fast vs the chip", not only the
     # 60 fps line). The decode kernels are NOT MXU/HBM-bound: the intra
@@ -386,6 +421,8 @@ def main():
         "h264_1080p_cabac_session_fps": round(cabac_fps, 2),
         "h264_cabac_on_device_path": cabac_on_device,
         "hevc_1080p_inter_session_fps": round(hevc_inter_fps, 2),
+        "session_stage_ms": {"h264_cabac": cabac_stages,
+                             "hevc_inter": hevc_inter_stages},
         "device_mpix_per_s": {
             "hevc": round(hevc_dev_fps * mpix, 1),
             "h264": round(h264_dev_fps * mpix, 1)},

@@ -175,9 +175,23 @@ class DecoderSession:
         if not self._frames:
             return None
         fr = self._frames.popleft()
-        fr = tuple(np.asarray(p) for p in fr)
+        with timers.stage("d2h"):
+            fr = tuple(np.asarray(p) for p in fr)
         if self._yuv_callback is not None:
             self._yuv_callback(*fr)
+        return fr
+
+    def get_frame_device(self):
+        """Pop one frame WITHOUT materializing to host: device-decoded
+        pictures come back as device arrays (host-decoded ones as numpy).
+        The on-chip consumer path (transcode: decode -> encode without
+        leaving the accelerator; the reference keeps NV12 surfaces in CUDA
+        memory the same way, nv_dec.cpp:428-454 copies only on request)."""
+        if not self._frames:
+            return None
+        fr = self._frames.popleft()
+        if self._yuv_callback is not None:
+            self._yuv_callback(*(np.asarray(p) for p in fr))
         return fr
 
     def is_exit(self) -> bool:
@@ -316,7 +330,8 @@ class DecoderSession:
                            len(pic), e)
 
     def _decode_picture_fast(self, pic: bytes) -> None:
-        pics = self._parser.parse_annexb(pic)
+        with timers.stage("host_parse"):
+            pics = self._parser.parse_annexb(pic)
         for fs, sps in pics:
             self._stream_info = (sps.width, sps.height)
             if not (self._use_device and not fs.has_pcm
@@ -470,12 +485,12 @@ class DecoderSession:
         if plan.is_idr:
             cache.clear()  # POC resets; stale same-POC entries are wrong
         with timers.stage("device_recon"):
+            # refs may already live on device (device-resident DPB planes):
+            # jnp.asarray is then a no-op instead of a D2H+H2D round trip
+            ju8 = lambda a: jnp.asarray(a).astype(jnp.uint8)
             for (p, y, cb, cr) in ref_pixels:
                 if p not in cache:
-                    cache[p] = prep_hevc_ref(
-                        jnp.asarray(np.asarray(y, np.uint8)),
-                        jnp.asarray(np.asarray(cb, np.uint8)),
-                        jnp.asarray(np.asarray(cr, np.uint8)))
+                    cache[p] = prep_hevc_ref(ju8(y), ju8(cb), ju8(cr))
             entries = [cache[p] for (p, _, _, _) in ref_pixels]
             if not entries:
                 ph2 = plan.ph + 128
@@ -492,9 +507,12 @@ class DecoderSession:
             cache[plan.poc] = prep_hevc_ref(Y, U, V)
             while len(cache) > 6:
                 cache.pop(next(iter(cache)))
-            out = (np.asarray(Y), np.asarray(U), np.asarray(V))
         counters.add("frames_device")
-        return out
+        # planes stay DEVICE-RESIDENT (AsyncDepth parity, and this dev
+        # tunnel's D2H path is pathologically slow): the DPB/TMVP logic
+        # only touches metadata, and np.asarray() materializes lazily if
+        # a host fallback or the consumer needs pixels
+        return Y, U, V
 
     def _decode_picture_hevc(self, pic: bytes) -> None:
         """HEVC decode: host entropy parse -> device recon kernel for

@@ -85,6 +85,14 @@ class HevcFramePlan:
     pred_fl: Optional[np.ndarray] = None      # [2, Hp//4, Wp//4] uint8
     tu_log2_inter_y: Optional[np.ndarray] = None  # [Hp//4, Wp//4]
     tu_log2_inter_c: Optional[np.ndarray] = None  # [Hp//8, Wp//8]
+    # explicit weighted prediction (8.5.4.2.3.3): per-cell resolved
+    # (w, o) per list per component; identity (w=1, o=0, denom=0) when the
+    # slice has no pred_weight_table, so the device combine is ONE uniform
+    # formula (default == explicit with the identity weights)
+    wp_w: Optional[np.ndarray] = None         # [2, Hp//4, Wp//4, 6] int32
+    luma_log2wd: int = 0
+    chroma_log2wd: int = 0
+    _wp_tab: Optional[list] = None            # hdr.wp while recording
     ref_pocs: Optional[list] = None           # POC per slot
     poc: int = 0
     is_idr: bool = False
@@ -104,9 +112,41 @@ class HevcFramePlan:
         self.tu_log2_inter_y = np.zeros(cell, np.int32)
         self.tu_log2_inter_c = np.zeros((self.Hp // 8, self.Wp // 8),
                                         np.int32)
+        # identity weights: w=1, o=0 for every component/list
+        self.wp_w = np.zeros((2,) + cell + (6,), np.int32)
+        self.wp_w[..., 0::2] = 1
+
+    def set_wp(self, hdr) -> None:
+        """Arm explicit weighted prediction from the slice header: cells
+        recorded after this resolve (w, o) from the header's table (device
+        analog of inter.predict_pu's wp argument)."""
+        if hdr.wp is None:
+            return
+        if self.wp_w is None:
+            self.enable_inter()
+        self.luma_log2wd = int(hdr.luma_denom)
+        self.chroma_log2wd = int(hdr.chroma_denom)
+        self._wp_tab = hdr.wp
+
+    def fill_wp_cells(self, ref_idx: np.ndarray,
+                      pred_fl: np.ndarray) -> None:
+        """Vectorized per-cell weight fill from a [2, H4, W4] ref_idx
+        plane (the native parser's output path; record_pu does the same
+        per PU for the Python parser)."""
+        if self._wp_tab is None:
+            return
+        for lx in (0, 1):
+            tab = self._wp_tab[lx]
+            if not tab:
+                continue
+            t = np.asarray(tab, np.int32)         # [nref, 6]
+            idx = np.clip(ref_idx[lx], 0, len(tab) - 1)
+            cells = t[idx]                        # [H4, W4, 6]
+            on = pred_fl[lx].astype(bool)
+            self.wp_w[lx][on] = cells[on]
 
     def record_pu(self, xp: int, yp: int, w: int, h: int, pred: int,
-                  mv, ref_slot) -> None:
+                  mv, ref_slot, ref_idx=(0, 0)) -> None:
         ys = slice(yp // 4, (yp + h) // 4)
         xs = slice(xp // 4, (xp + w) // 4)
         self.inter4[ys, xs] = 1
@@ -121,6 +161,8 @@ class HevcFramePlan:
             self.pred_fl[lx, ys, xs] = 1
             self.mv[lx, ys, xs] = (mvx, mvy)
             self.ref_slot[lx, ys, xs] = ref_slot[lx]
+            if self._wp_tab is not None and self._wp_tab[lx]:
+                self.wp_w[lx, ys, xs] = self._wp_tab[lx][ref_idx[lx]]
 
     def record_inter_cu_done(self, x0: int, y0: int, n: int) -> None:
         """Assign the CU's z-scan index AFTER its prediction+residual: a

@@ -23,6 +23,7 @@ from .cabac import HevcCabac
 from . import cabac_tables as CT
 from .inter import MotionCand, RefPic
 from .params import HevcPPS, HevcSPS, parse_pps, parse_sps
+from ...utils.metrics import timers
 from .slicehdr import (B_SLICE, I_SLICE, P_SLICE, HevcSliceHeader,
                        parse_slice_header)
 
@@ -269,10 +270,7 @@ class HevcRefDecoder:
             self.dpb = []
         poc = self._compute_poc(hdr0, sps)
         self.n_pictures += 1
-        all_i = all(h.slice_type == I_SLICE for h, _, _ in slices)
-        has_wp = any(h.wp is not None for h, _, _ in slices)
-        use_plan = self.plan_only or (
-            self.device_recon is not None and (all_i or not has_wp))
+        use_plan = self.plan_only or self.device_recon is not None
         plan = None
         if use_plan:
             from .plan import HevcFramePlan
@@ -326,6 +324,7 @@ class HevcRefDecoder:
             try:
                 plan.record_slice(hdr, pps)
                 plan.enable_inter()
+                plan.set_wp(hdr)
                 cur_refs = self._ref_lists(hdr, before, after)
                 no_backward = all(rp.poc <= poc for lst in cur_refs
                                   for rp in lst)
@@ -363,9 +362,10 @@ class HevcRefDecoder:
                     "refs": [[(rp.poc, slot_of[rp.poc]) for rp in lst]
                              for lst in cur_refs],
                 }
-                st = native.hevc_fill_plan_inter(
-                    plan, hdr, sps, pps, rbsp,
-                    _substream_offsets(hdr, emu), ictx)
+                with timers.stage("host_parse"):
+                    st = native.hevc_fill_plan_inter(
+                        plan, hdr, sps, pps, rbsp,
+                        _substream_offsets(hdr, emu), ictx)
                 pic = _Picture(sps, pps, plan=plan)
                 pic.poc = poc
                 pic.cur_refs = cur_refs
@@ -383,7 +383,9 @@ class HevcRefDecoder:
                 pic.tu_edge_hor[:] = st["tu_eh"] != 0
                 pic.pu_edge_ver[:] = st["pu_ev"] != 0
                 pic.pu_edge_hor[:] = st["pu_eh"] != 0
-                pic.finish_bs()
+                plan.fill_wp_cells(st["refidx"], st["pred"])
+                with timers.stage("bs_post"):
+                    pic.finish_bs()
                 self.pic = pic
                 plan.qp_y[:] = hdr.qp
                 ch, cw = pic.bs_ver.shape
@@ -414,8 +416,9 @@ class HevcRefDecoder:
             hdr, rbsp, emu = slices[0]
             try:
                 plan.record_slice(hdr, pps)
-                native.hevc_fill_plan(plan, hdr, sps, pps, rbsp,
-                                      _substream_offsets(hdr, emu))
+                with timers.stage("host_parse"):
+                    native.hevc_fill_plan(plan, hdr, sps, pps, rbsp,
+                                          _substream_offsets(hdr, emu))
                 planes = self.device_recon(plan, [])
                 self.pic = _Picture(sps, pps, plan=plan)
                 self.pic.poc = poc
@@ -429,6 +432,14 @@ class HevcRefDecoder:
         for hdr, rbsp, emu in slices:
             if hdr.slice_type != I_SLICE:
                 self.pic.cur_refs = self._ref_lists(hdr, before, after)
+                # host MC is numpy: pull device-resident reference planes
+                # down once (device-decoded pictures keep planes on-chip)
+                for lst in self.pic.cur_refs:
+                    for rp in lst:
+                        if not isinstance(rp.y, np.ndarray):
+                            rp.y = np.asarray(rp.y)
+                            rp.cb = np.asarray(rp.cb)
+                            rp.cr = np.asarray(rp.cr)
                 self.pic.no_backward = all(
                     rp.poc <= poc for lst in self.pic.cur_refs for rp in lst)
                 if plan is not None:
@@ -475,6 +486,8 @@ class HevcRefDecoder:
         pic.cur_hdr = hdr
         if pic.plan is not None:
             pic.plan.record_slice(hdr, pps)
+            if hdr.slice_type != I_SLICE:
+                pic.plan.set_wp(hdr)
         c = HevcCabac(rbsp, hdr.data_bitpos, hdr.qp, hdr.init_type)
         wpp = pps.entropy_coding_sync_enabled
         substream_rbsp = _substream_offsets(hdr, emu)
@@ -847,7 +860,8 @@ class _Picture:
             # device path: record the derived motion; pixels on the TPU
             slots = [self.slot_of[self.cur_refs[lx][ref_idx[lx]].poc]
                      if (pred & (1 << lx)) else 0 for lx in (0, 1)]
-            self.plan.record_pu(xp, yp, w, h, pred, mv, slots)
+            self.plan.record_pu(xp, yp, w, h, pred, mv, slots,
+                                ref_idx=ref_idx)
         else:
             wp = None
             if hdr.wp is not None:

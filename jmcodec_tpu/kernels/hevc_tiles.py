@@ -589,24 +589,34 @@ def _make_walk_switch(C: int, max_tu: int, is_chroma: bool, strong: bool):
     return walk
 
 
-def _walk_factory():
-    """Walk variant selection. JMX_HEVC_WALK in {unroll, switch, pallas}
-    and JMX_HEVC_F16 are read at TRACE time: set them before the first
-    decode call in a process — changing them later silently keeps the
-    already-compiled variant for cached shapes (ADVICE r3 #1). All
-    variants are asserted bit-identical by tests/test_hevc_walk_variants
-    and the conformance suite."""
-    w = os.environ.get("JMX_HEVC_WALK", "unroll")
-    if w == "pallas":
+def resolve_walk(walk=None) -> str:
+    """Resolve the TU-walk variant to a STATIC jit argument (ADVICE r3 #1:
+    no trace-time env reads in the product path). None -> the JMX_HEVC_WALK
+    env override if set, else the backend default: the Pallas VMEM walk on
+    TPU (one dispatch walks a whole scan step's ~340 candidates with the
+    composite resident in VMEM), the XLA unrolled walk elsewhere (Pallas
+    interpret mode on CPU is test-only). All variants are asserted
+    bit-identical by tests/test_hevc_walk_variants + the conformance
+    suite."""
+    if walk is None:
+        walk = os.environ.get("JMX_HEVC_WALK", "")
+    if not walk:
+        walk = "pallas" if jax.default_backend() == "tpu" else "unroll"
+    assert walk in ("unroll", "switch", "pallas"), walk
+    return walk
+
+
+def _walk_factory(walk: str):
+    if walk == "pallas":
         from .hevc_walk_pallas import make_pallas_walk
         return make_pallas_walk
-    return _make_walk_switch if w == "switch" else _make_walk
+    return _make_walk_switch if walk == "switch" else _make_walk
 
 
-def _use_pallas_walk() -> bool:
+def _use_pallas_walk(walk: str) -> bool:
     """True when the Pallas walk is selected: the preselected index planes
     are not needed (mode tables are static kernel constants)."""
-    return os.environ.get("JMX_HEVC_WALK", "unroll") == "pallas"
+    return walk == "pallas"
 
 
 def _f_dtype():
@@ -616,7 +626,8 @@ def _f_dtype():
 
 def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
                 C: int, skew: int, max_tu: int, is_chroma: bool,
-                strong: bool, groups: int = 1, base_t=None, idx_t=None):
+                strong: bool, groups: int = 1, base_t=None, idx_t=None,
+                walk: str = "unroll"):
     """resid_t [steps, B, C, C]; cell-grid tiles [steps, B, C/4, C/4];
     valid/has_left [steps, B]. Returns recon tiles [steps, B, C, C].
 
@@ -633,7 +644,7 @@ def _intra_scan(resid_t, zidx_t, tu_t, mode_t, valid_t, has_left_t,
     # lane = cy within each stack
     nlane = B // groups
     lane_has_top = jnp.asarray(np.tile(np.arange(nlane) > 0, groups))
-    walk = _walk_factory()(C, max_tu, is_chroma, strong)
+    walk = _walk_factory(walk)(C, max_tu, is_chroma, strong)
     fdt = _f_dtype()
 
     def body(carry, xs):
@@ -856,17 +867,23 @@ def _sao_plane(plane, typ, offs, band, eo, log2n: int, pw: int, ph: int):
     for k in range(4):
         badd = badd + jnp.where(b == ((B + k) & 31), O[k], 0)
 
-    # edge offsets, all 4 classes then select
+    # edge offsets, all 4 classes then select. The per-pixel category
+    # lookup is a chain of vector selects, NOT a gather: per-element
+    # take_along_axis lowers to the TPU's scalar gather path (measured
+    # ~4 s/16-frame batch — 60x the rest of the filter pipeline).
     pad = jnp.pad(src, 1, mode="edge")
     ys_, xs_ = jnp.mgrid[0:H, 0:W]
     eadd = jnp.zeros_like(src)
-    offv = jnp.stack([jnp.zeros_like(O[0]), O[0], O[1], O[2], O[3]], axis=0)
     for c, (dx, dy) in enumerate(((1, 0), (0, 1), (1, 1), (-1, 1))):
         na = pad[1 - dy:1 - dy + H, 1 - dx:1 - dx + W]
         nb = pad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
         sgn = jnp.sign(src - na) + jnp.sign(src - nb)
-        cat = jnp.asarray([1, 2, 0, 3, 4])[sgn + 2]
-        add_c = jnp.take_along_axis(offv, cat[None], axis=0)[0]
+        # EO category (Table 8-12): sgn -2->O[0], -1->O[1], 1->O[2],
+        # 2->O[3], 0 -> no offset
+        add_c = (jnp.where(sgn == -2, O[0], 0) +
+                 jnp.where(sgn == -1, O[1], 0) +
+                 jnp.where(sgn == 1, O[2], 0) +
+                 jnp.where(sgn == 2, O[3], 0))
         valid = ((xs_ + dx >= 0) & (xs_ + dx < pw) & (xs_ - dx >= 0) &
                  (xs_ - dx < pw) & (ys_ + dy >= 0) & (ys_ + dy < ph) &
                  (ys_ - dy >= 0) & (ys_ - dy < ph))
@@ -884,7 +901,7 @@ def _sao_plane(plane, typ, offs, band, eo, log2n: int, pw: int, ph: int):
 
 @functools.partial(jax.jit, static_argnames=(
     "Hp", "Wp", "log2_ctb", "strong", "deblock_on", "pw", "ph",
-    "width", "height"))
+    "width", "height", "walk"))
 def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
                       deblock_on: bool, pw: int, ph: int,
                       width: int, height: int,
@@ -892,8 +909,17 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
                       coeff_cb, coeff_cr, tu_c, mode_c, zidx_c,
                       cb_qp_off, cr_qp_off, beta_off, tc_off,
                       bs_ver, bs_hor,
-                      sao_type, sao_offsets, sao_band, sao_eo):
+                      sao_type, sao_offsets, sao_band, sao_eo,
+                      walk: str = "unroll"):
     """All-intra HEVC device decode from plan tensors -> (Y, U, V) uint8."""
+    # tensors may arrive in compact transfer dtypes (_jc); upcast once
+    i32 = lambda a: a.astype(jnp.int32)
+    (coeff_y, tu_y, mode_y, zidx_y, qp_y, coeff_cb, coeff_cr, tu_c,
+     mode_c, zidx_c, bs_ver, bs_hor, sao_type, sao_offsets, sao_band,
+     sao_eo) = map(
+        i32, (coeff_y, tu_y, mode_y, zidx_y, qp_y, coeff_cb, coeff_cr,
+              tu_c, mode_c, zidx_c, bs_ver, bs_hor, sao_type,
+              sao_offsets, sao_band, sao_eo))
     C = 1 << log2_ctb
     ctb_h, ctb_w = Hp // C, Wp // C
     maxtb = min(32, C)
@@ -913,12 +939,12 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     # ---- luma scan ----
     t = lambda p, n: _skew(_plane_to_ctb_tiles(p, ctb_h, ctb_w, n),
                            cys_j, cxs_j)
-    idx_y = (None if _use_pallas_walk() else
+    idx_y = (None if _use_pallas_walk(walk) else
              _skewed_idx_tiles(mode_y, ctb_h, ctb_w, C, 32, cys_j, cxs_j))
     Yt = _intra_scan(t(resid_y, C), t(zidx_y, C // 4), t(tu_y, C // 4),
                      t(mode_y, C // 4), valid_j, hl_j,
                      C, skew, 32, is_chroma=False, strong=strong,
-                     idx_t=idx_y)
+                     idx_t=idx_y, walk=walk)
     Y = _unskew_to_plane(Yt, cys_j, cxs_j, valid_j, ctb_h, ctb_w, C)
 
     # ---- chroma scan (cb+cr stacked on the lane axis) ----
@@ -930,7 +956,7 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     mc2 = cat2(t(mode_c, Cc // 4), t(mode_c, Cc // 4))
     v2 = cat2(valid_j, valid_j)
     h2 = cat2(hl_j, hl_j)
-    if _use_pallas_walk():
+    if _use_pallas_walk(walk):
         idx_c = None
     else:
         idx_c1 = _skewed_idx_tiles(mode_c, ctb_h, ctb_w, Cc, 16,
@@ -939,7 +965,7 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
                  for n, (ei, oi) in idx_c1.items()}
     Ct = _intra_scan(rc, zc2, tc2, mc2, v2, h2,
                      Cc, skew, 16, is_chroma=True, strong=False, groups=2,
-                     idx_t=idx_c)
+                     idx_t=idx_c, walk=walk)
     U = _unskew_to_plane(Ct[:, :ctb_h], cys_j, cxs_j, valid_j,
                          ctb_h, ctb_w, Cc)
     V = _unskew_to_plane(Ct[:, ctb_h:], cys_j, cxs_j, valid_j,
@@ -965,31 +991,18 @@ def decode_frame_hevc(Hp: int, Wp: int, log2_ctb: int, strong: bool,
             V[:ph // 2, :pw // 2].astype(jnp.uint8))
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "Hp", "Wp", "log2_ctb", "strong", "deblock_on", "pw", "ph",
-    "width", "height"))
-def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
-                             deblock_on: bool, pw: int, ph: int,
-                             width: int, height: int,
-                             coeff_y, tu_y, mode_y, zidx_y, qp_y,
-                             coeff_cb, coeff_cr, tu_c, mode_c, zidx_c,
-                             cb_qp_off, cr_qp_off, beta_off, tc_off,
-                             bs_ver, bs_hor,
-                             sao_type, sao_offsets, sao_band, sao_eo):
-    """Batched all-intra HEVC decode: every tensor carries a leading frame
-    axis [F, ...] (per-frame scalars are [F] int32). Frames are stacked on
-    the wavefront's lane axis, so the sequential scan depth is amortized
-    over the batch — this is the throughput shape for the sequential TU
-    walk (one frame alone exposes only ctb_h lanes of parallelism)."""
+def _batch_scan_body(Hp: int, Wp: int, log2_ctb: int, strong: bool,
+                     coeff_y, tu_y, mode_y, zidx_y, qp_y,
+                     coeff_cb, coeff_cr, tu_c, mode_c, zidx_c,
+                     cb_qp_off, cr_qp_off, walk: str):
+    """Residuals + both wavefront scans + unskew -> int32 (Y, U, V)
+    coded-size plane batches (pre in-loop filters)."""
     # tensors arrive in compact transfer dtypes (stack_plans); upcast once
     i32 = lambda a: a.astype(jnp.int32)
     coeff_y, tu_y, mode_y, qp_y = map(i32, (coeff_y, tu_y, mode_y, qp_y))
     coeff_cb, coeff_cr, tu_c, mode_c = map(
         i32, (coeff_cb, coeff_cr, tu_c, mode_c))
     zidx_y, zidx_c = i32(zidx_y), i32(zidx_c)
-    bs_ver, bs_hor = i32(bs_ver), i32(bs_hor)
-    sao_type, sao_offsets = i32(sao_type), i32(sao_offsets)
-    sao_band, sao_eo = i32(sao_band), i32(sao_eo)
     F = coeff_y.shape[0]
     C = 1 << log2_ctb
     ctb_h, ctb_w = Hp // C, Wp // C
@@ -1021,7 +1034,7 @@ def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     catF = lambda a: jnp.concatenate([a] * F, axis=1)
 
     def tf_idx(mode_cells, C_, max_tu_):
-        if _use_pallas_walk():
+        if _use_pallas_walk(walk):
             return None
         per = [_skewed_idx_tiles(mode_cells[f], ctb_h, ctb_w, C_, max_tu_,
                                  cys_j, cxs_j) for f in range(F)]
@@ -1033,7 +1046,7 @@ def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     Yt = _intra_scan(tf(resid_y, C), tf(zidx_y, C // 4), tf(tu_y, C // 4),
                      tf(mode_y, C // 4), catF(valid_j), catF(hl_j),
                      C, skew, 32, is_chroma=False, strong=strong, groups=F,
-                     idx_t=idx_y)
+                     idx_t=idx_y, walk=walk)
     unsk = lambda t, n: _unskew_to_plane(t, cys_j, cxs_j, valid_j,
                                          ctb_h, ctb_w, n)
     Y = jnp.stack([unsk(Yt[:, f * ctb_h:(f + 1) * ctb_h], C)
@@ -1052,13 +1065,24 @@ def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     Ct = _intra_scan(rc, cat2(zcs), cat2(tcs), cat2(mcs),
                      cat2(catF(valid_j)), cat2(catF(hl_j)),
                      Cc, skew, 16, is_chroma=True, strong=False,
-                     groups=2 * F, idx_t=idx_c)
+                     groups=2 * F, idx_t=idx_c, walk=walk)
     U = jnp.stack([unsk(Ct[:, f * ctb_h:(f + 1) * ctb_h], Cc)
                    for f in range(F)])
     V = jnp.stack([unsk(Ct[:, (F + f) * ctb_h:(F + f + 1) * ctb_h], Cc)
                    for f in range(F)])
+    return Y, U, V
 
-    # ---- in-loop filters (vmapped over frames) ----
+
+def _batch_filter_body(log2_ctb: int, deblock_on: bool, pw: int, ph: int,
+                       width: int, height: int, Y, U, V, qp_y,
+                       cb_qp_off, cr_qp_off, beta_off, tc_off,
+                       bs_ver, bs_hor,
+                       sao_type, sao_offsets, sao_band, sao_eo):
+    """Deblock + SAO + conformance crop + uint8 on int32 plane batches."""
+    i32 = lambda a: a.astype(jnp.int32)
+    qp_y, bs_ver, bs_hor = map(i32, (qp_y, bs_ver, bs_hor))
+    sao_type, sao_offsets = i32(sao_type), i32(sao_offsets)
+    sao_band, sao_eo = i32(sao_band), i32(sao_eo)
     if deblock_on:
         Y, U, V = jax.vmap(
             lambda y, u, v, bv, bh, q, bo, to, cb, cr: _deblock(
@@ -1076,10 +1100,65 @@ def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     V = sao_f(V, sao_type[..., 2], sao_offsets[..., 2, :],
               sao_band[..., 2], sao_eo[..., 2], log2_ctb - 1,
               pw // 2, ph // 2)
-
     return (Y[:, :height, :width].astype(jnp.uint8),
             U[:, :height // 2, :width // 2].astype(jnp.uint8),
             V[:, :height // 2, :width // 2].astype(jnp.uint8))
+
+
+@jax.jit
+def _widen_i32(*ts):
+    """Device-side upcast of compact transfer tensors, as its OWN tiny
+    program. Feeding int8/int16 tensors directly into the program that
+    contains the Pallas walk kernels intermittently faults the TPU
+    worker (r5 bisect: the same program is stable with i32 inputs and
+    crashes with compact ones — narrowed to the compact-dtype operand
+    path, not the kernel arithmetic). H2D stays compact; this adds one
+    memory-bound dispatch (~1 ms for a 16-frame 1080p batch)."""
+    return tuple(t.astype(jnp.int32) for t in ts)
+
+
+decode_frames_hevc_scan = functools.partial(jax.jit, static_argnames=(
+    "Hp", "Wp", "log2_ctb", "strong", "walk"))(_batch_scan_body)
+decode_frames_hevc_filters = functools.partial(jax.jit, static_argnames=(
+    "log2_ctb", "deblock_on", "pw", "ph", "width",
+    "height"))(_batch_filter_body)
+
+
+def decode_frames_hevc_batch(Hp: int, Wp: int, log2_ctb: int, strong: bool,
+                             deblock_on: bool, pw: int, ph: int,
+                             width: int, height: int,
+                             coeff_y, tu_y, mode_y, zidx_y, qp_y,
+                             coeff_cb, coeff_cr, tu_c, mode_c, zidx_c,
+                             cb_qp_off, cr_qp_off, beta_off, tc_off,
+                             bs_ver, bs_hor,
+                             sao_type, sao_offsets, sao_band, sao_eo,
+                             walk: str = "unroll"):
+    """Batched all-intra HEVC decode: every tensor carries a leading frame
+    axis [F, ...] (per-frame scalars are [F] int32). Frames are stacked on
+    the wavefront's lane axis, so the sequential scan depth is amortized
+    over the batch — this is the throughput shape for the sequential TU
+    walk (one frame alone exposes only ctb_h lanes of parallelism).
+
+    Runs as THREE device programs (widen, scan stage, filter stage): the
+    monolithic program intermittently faults the TPU worker when the
+    Pallas walk kernels share a program with compact int8/int16 operands
+    (r5 bisect: the same scan program is stable with i32 inputs, crashes
+    with compact ones). Bit-exactness is unchanged: the split is between
+    whole pipeline phases and a dtype-preserving upcast."""
+    (coeff_y, tu_y, mode_y, zidx_y, qp_y, coeff_cb, coeff_cr, tu_c,
+     mode_c, zidx_c, bs_ver, bs_hor, sao_type, sao_offsets, sao_band,
+     sao_eo) = _widen_i32(
+        coeff_y, tu_y, mode_y, zidx_y, qp_y, coeff_cb, coeff_cr, tu_c,
+        mode_c, zidx_c, bs_ver, bs_hor, sao_type, sao_offsets, sao_band,
+        sao_eo)
+    Y, U, V = decode_frames_hevc_scan(
+        Hp, Wp, log2_ctb, strong, coeff_y, tu_y, mode_y, zidx_y, qp_y,
+        coeff_cb, coeff_cr, tu_c, mode_c, zidx_c, cb_qp_off, cr_qp_off,
+        walk=walk)
+    return decode_frames_hevc_filters(
+        log2_ctb, deblock_on, pw, ph, width, height, Y, U, V, qp_y,
+        cb_qp_off, cr_qp_off, beta_off, tc_off, bs_ver, bs_hor,
+        sao_type, sao_offsets, sao_band, sao_eo)
 
 
 def stack_plans(plans):
@@ -1126,7 +1205,16 @@ def decode_plans_batch(plans):
                 p.deblock_disabled, p.width, p.height) != key:
             raise NotImplementedError("mixed-geometry plan batch")
     args = stack_plans(plans)
-    return decode_frames_hevc_batch(*args)
+    return decode_frames_hevc_batch(*args, walk=resolve_walk())
+
+
+def _jc(a, dt):
+    """Compact host->device transfer: cast on the HOST to the smallest
+    lossless dtype, upcast on device (the jitted entries upcast to i32).
+    The dev tunnel moves ~60 MB/s H2D, so transfer bytes bound session
+    e2e fps (SURVEY §7.4) — int32 plan tensors would double/quadruple
+    every picture's wire cost."""
+    return jnp.asarray(np.asarray(a).astype(dt))
 
 
 def decode_plan(plan, coded: bool = False):
@@ -1134,20 +1222,25 @@ def decode_plan(plan, coded: bool = False):
     the full coded-size planes (pre conformance-window crop) for DPB use."""
     if not plan.supported:
         raise NotImplementedError(f"plan unsupported: {plan.reason}")
-    j = jnp.asarray
+    wide = _widen_i32(
+        _jc(plan.coeff_y, np.int16), _jc(plan.tu_log2_y, np.int8),
+        _jc(plan.mode_y, np.int8), _jc(plan.zidx_y, np.int32),
+        _jc(plan.qp_y, np.int8),
+        _jc(plan.coeff_cb, np.int16), _jc(plan.coeff_cr, np.int16),
+        _jc(plan.tu_log2_c, np.int8),
+        _jc(plan.mode_c, np.int8), _jc(plan.zidx_c, np.int32),
+        _jc(plan.bs_ver, np.int8), _jc(plan.bs_hor, np.int8),
+        _jc(plan.sao_type, np.int8), _jc(plan.sao_offsets, np.int8),
+        _jc(plan.sao_band, np.int8), _jc(plan.sao_eo, np.int8))
     Y, U, V = decode_frame_hevc(
         plan.Hp, plan.Wp, plan.log2_ctb, bool(plan.strong_smoothing),
         not plan.deblock_disabled, plan.pw, plan.ph,
         plan.width, plan.height,
-        j(plan.coeff_y), j(plan.tu_log2_y), j(plan.mode_y), j(plan.zidx_y),
-        j(plan.qp_y),
-        j(plan.coeff_cb), j(plan.coeff_cr), j(plan.tu_log2_c),
-        j(plan.mode_c), j(plan.zidx_c),
+        *wide[:10],
         jnp.int32(plan.cb_qp_off), jnp.int32(plan.cr_qp_off),
         jnp.int32(plan.beta_off), jnp.int32(plan.tc_off),
-        j(plan.bs_ver), j(plan.bs_hor),
-        j(plan.sao_type), j(plan.sao_offsets), j(plan.sao_band),
-        j(plan.sao_eo))
+        *wide[10:],
+        walk=resolve_walk())
     if coded:
         return Y, U, V
     h, w = plan.height, plan.width
@@ -1248,12 +1341,22 @@ def _mc_hevc_chroma(ref_ph, mv, slot):
     return out >> 6
 
 
-def _combine_pred(p0, p1, fl0, fl1):
-    """14-bit list predictions -> 8-bit samples (8.5.4.2.3 default)."""
+def _combine_pred(p0, p1, fl0, fl1, w0, o0, w1, o1, log2wd):
+    """14-bit list predictions -> 8-bit samples. ONE uniform formula for
+    default AND explicit weighted prediction (8.5.4.2.3.3): the default
+    combine equals the explicit one at identity weights (w=1, o=0,
+    denom=0, so log2wd=6), which is what the plan carries for unweighted
+    slices. w/o are per-4x4-cell planes, log2wd a traced scalar."""
+    e = lambda a: a[..., None, None]
     bi = (fl0 & fl1).astype(bool)[..., None, None]
     f0 = fl0.astype(bool)[..., None, None]
-    out = jnp.where(bi, (p0 + p1 + 64) >> 7,
-                    jnp.where(f0, (p0 + 32) >> 6, (p1 + 32) >> 6))
+    w0e, o0e, w1e, o1e = e(w0), e(o0), e(w1), e(o1)
+    half = jnp.left_shift(jnp.int32(1), log2wd - 1)
+    bi_v = (p0 * w0e + p1 * w1e +
+            ((o0e + o1e + 1) << log2wd)) >> (log2wd + 1)
+    uni0 = ((p0 * w0e + half) >> log2wd) + o0e
+    uni1 = ((p1 * w1e + half) >> log2wd) + o1e
+    out = jnp.where(bi, bi_v, jnp.where(f0, uni0, uni1))
     return jnp.clip(out, 0, 255)
 
 
@@ -1263,7 +1366,7 @@ def _cells_to_plane_j(cells):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "Hp", "Wp", "log2_ctb", "strong", "deblock_on", "pw", "ph"))
+    "Hp", "Wp", "log2_ctb", "strong", "deblock_on", "pw", "ph", "walk"))
 def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
                             deblock_on: bool, pw: int, ph: int,
                             coeff_y, tu_y, mode_y, zidx_y, qp_y,
@@ -1273,7 +1376,9 @@ def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
                             sao_type, sao_offsets, sao_band, sao_eo,
                             inter4, mv, ref_slot, pred_fl,
                             tu_inter_y, tu_inter_c,
-                            refs_y, refs_cb, refs_cr):
+                            wp_w, luma_log2wd, chroma_log2wd,
+                            refs_y, refs_cb, refs_cr,
+                            walk: str = "unroll"):
     """Inter (P/B) HEVC device decode: phase-plane MC + inter residuals
     seed the intra wavefront; deblock bS comes precomputed from the host
     (full 8.7.2.4 derivation incl. motion comparisons). Returns coded-size
@@ -1289,25 +1394,34 @@ def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     i32 = lambda a: a.astype(jnp.int32)
     (coeff_y, tu_y, mode_y, zidx_y, qp_y, coeff_cb, coeff_cr, tu_c,
      mode_c, zidx_c, bs_ver, bs_hor, inter4, mv, ref_slot, pred_fl,
-     tu_inter_y, tu_inter_c, sao_type, sao_offsets, sao_band, sao_eo) = map(
+     tu_inter_y, tu_inter_c, wp_w, sao_type, sao_offsets, sao_band,
+     sao_eo) = map(
         i32, (coeff_y, tu_y, mode_y, zidx_y, qp_y, coeff_cb, coeff_cr,
               tu_c, mode_c, zidx_c, bs_ver, bs_hor, inter4, mv, ref_slot,
-              pred_fl, tu_inter_y, tu_inter_c, sao_type, sao_offsets,
-              sao_band, sao_eo))
+              pred_fl, tu_inter_y, tu_inter_c, wp_w, sao_type,
+              sao_offsets, sao_band, sao_eo))
+    lwd_y = luma_log2wd.astype(jnp.int32) + 6
+    lwd_c = chroma_log2wd.astype(jnp.int32) + 6
 
     # ---- motion compensation (whole frame, both lists) ----
     mc_y0 = _mc_hevc_luma(refs_y, mv[0], ref_slot[0])
     mc_y1 = _mc_hevc_luma(refs_y, mv[1], ref_slot[1])
     pred_y = _cells_to_plane_j(
-        _combine_pred(mc_y0, mc_y1, pred_fl[0], pred_fl[1]))
+        _combine_pred(mc_y0, mc_y1, pred_fl[0], pred_fl[1],
+                      wp_w[0, ..., 0], wp_w[0, ..., 1],
+                      wp_w[1, ..., 0], wp_w[1, ..., 1], lwd_y))
     mc_cb0 = _mc_hevc_chroma(refs_cb, mv[0], ref_slot[0])
     mc_cb1 = _mc_hevc_chroma(refs_cb, mv[1], ref_slot[1])
     pred_cb = _cells_to_plane_j(
-        _combine_pred(mc_cb0, mc_cb1, pred_fl[0], pred_fl[1]))
+        _combine_pred(mc_cb0, mc_cb1, pred_fl[0], pred_fl[1],
+                      wp_w[0, ..., 2], wp_w[0, ..., 3],
+                      wp_w[1, ..., 2], wp_w[1, ..., 3], lwd_c))
     mc_cr0 = _mc_hevc_chroma(refs_cr, mv[0], ref_slot[0])
     mc_cr1 = _mc_hevc_chroma(refs_cr, mv[1], ref_slot[1])
     pred_cr = _cells_to_plane_j(
-        _combine_pred(mc_cr0, mc_cr1, pred_fl[0], pred_fl[1]))
+        _combine_pred(mc_cr0, mc_cr1, pred_fl[0], pred_fl[1],
+                      wp_w[0, ..., 4], wp_w[0, ..., 5],
+                      wp_w[1, ..., 4], wp_w[1, ..., 5], lwd_c))
 
     # ---- residuals ----
     resid_y = _residual_plane(coeff_y, qp_y, tu_y, True, (2, 3, 4, 5))
@@ -1339,12 +1453,12 @@ def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     # ---- luma scan (intra TUs reconstruct over the inter base) ----
     t = lambda p, n: _skew(_plane_to_ctb_tiles(p, ctb_h, ctb_w, n),
                            cys_j, cxs_j)
-    idx_y = (None if _use_pallas_walk() else
+    idx_y = (None if _use_pallas_walk(walk) else
              _skewed_idx_tiles(mode_y, ctb_h, ctb_w, C, 32, cys_j, cxs_j))
     Yt = _intra_scan(t(resid_y, C), t(zidx_y, C // 4), t(tu_y, C // 4),
                      t(mode_y, C // 4), valid_j, hl_j,
                      C, skew, 32, is_chroma=False, strong=strong,
-                     base_t=t(base_y, C), idx_t=idx_y)
+                     base_t=t(base_y, C), idx_t=idx_y, walk=walk)
     Y = _unskew_to_plane(Yt, cys_j, cxs_j, valid_j, ctb_h, ctb_w, C)
 
     # ---- chroma scan ----
@@ -1357,7 +1471,7 @@ def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     v2 = cat2(valid_j, valid_j)
     h2 = cat2(hl_j, hl_j)
     bc2 = cat2(t(base_cb, Cc), t(base_cr, Cc))
-    if _use_pallas_walk():
+    if _use_pallas_walk(walk):
         idx_c = None
     else:
         idx_c1 = _skewed_idx_tiles(mode_c, ctb_h, ctb_w, Cc, 16,
@@ -1366,7 +1480,7 @@ def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
                  for n, (ei, oi) in idx_c1.items()}
     Ct = _intra_scan(rc, zc2, tc2, mc2, v2, h2,
                      Cc, skew, 16, is_chroma=True, strong=False, groups=2,
-                     base_t=bc2, idx_t=idx_c)
+                     base_t=bc2, idx_t=idx_c, walk=walk)
     U = _unskew_to_plane(Ct[:, :ctb_h], cys_j, cxs_j, valid_j,
                          ctb_h, ctb_w, Cc)
     V = _unskew_to_plane(Ct[:, ctb_h:], cys_j, cxs_j, valid_j,
@@ -1394,22 +1508,32 @@ def decode_plan_inter(plan, ref_stacks, coded: bool = False):
     (Y, U, V) uint8 device arrays (coded size when coded=True)."""
     if not plan.supported:
         raise NotImplementedError(f"plan unsupported: {plan.reason}")
-    j = jnp.asarray
+    wide = _widen_i32(
+        _jc(plan.coeff_y, np.int16), _jc(plan.tu_log2_y, np.int8),
+        _jc(plan.mode_y, np.int8), _jc(plan.zidx_y, np.int32),
+        _jc(plan.qp_y, np.int8),
+        _jc(plan.coeff_cb, np.int16), _jc(plan.coeff_cr, np.int16),
+        _jc(plan.tu_log2_c, np.int8),
+        _jc(plan.mode_c, np.int8), _jc(plan.zidx_c, np.int32),
+        _jc(plan.bs_ver, np.int8), _jc(plan.bs_hor, np.int8),
+        _jc(plan.sao_type, np.int8), _jc(plan.sao_offsets, np.int8),
+        _jc(plan.sao_band, np.int8), _jc(plan.sao_eo, np.int8),
+        # mv is quarter-pel, gated |mv| <= 4*(MC_PAD_HEVC-8) << 2^15;
+        # weights/offsets are 8-bit-range se(v) values (7.4.7.3)
+        _jc(plan.inter4, np.int8), _jc(plan.mv, np.int16),
+        _jc(plan.ref_slot, np.int8), _jc(plan.pred_fl, np.int8),
+        _jc(plan.tu_log2_inter_y, np.int8),
+        _jc(plan.tu_log2_inter_c, np.int8),
+        _jc(plan.wp_w, np.int16))
     Y, U, V = decode_frame_hevc_inter(
         plan.Hp, plan.Wp, plan.log2_ctb, bool(plan.strong_smoothing),
         not plan.deblock_disabled, plan.pw, plan.ph,
-        j(plan.coeff_y), j(plan.tu_log2_y), j(plan.mode_y), j(plan.zidx_y),
-        j(plan.qp_y),
-        j(plan.coeff_cb), j(plan.coeff_cr), j(plan.tu_log2_c),
-        j(plan.mode_c), j(plan.zidx_c),
+        *wide[:10],
         jnp.int32(plan.cb_qp_off), jnp.int32(plan.cr_qp_off),
         jnp.int32(plan.beta_off), jnp.int32(plan.tc_off),
-        j(plan.bs_ver), j(plan.bs_hor),
-        j(plan.sao_type), j(plan.sao_offsets), j(plan.sao_band),
-        j(plan.sao_eo),
-        j(plan.inter4), j(plan.mv), j(plan.ref_slot), j(plan.pred_fl),
-        j(plan.tu_log2_inter_y), j(plan.tu_log2_inter_c),
-        *ref_stacks)
+        *wide[10:],
+        jnp.int32(plan.luma_log2wd), jnp.int32(plan.chroma_log2wd),
+        *ref_stacks, walk=resolve_walk())
     if coded:
         return Y, U, V
     h, w = plan.height, plan.width

@@ -77,6 +77,11 @@ class StageTimers:
                          f"({self._t[k]/n*1000:.2f}ms avg)")
         return " | ".join(parts)
 
+    def snapshot(self) -> Dict[str, float]:
+        """Accumulated seconds per stage (for before/after diffs in
+        benches: the session fps numbers become attributable)."""
+        return dict(self._t)
+
 
 timers = StageTimers()
 

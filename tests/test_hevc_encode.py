@@ -78,8 +78,10 @@ def test_session_hevc_encode():
     from jmcodec_tpu.api.session import (Codec, EncoderParams,
                                          EncoderSession, PixFmt)
     frames = [make_frame(64, 64, seed=i) for i in range(2)]
+    # gop_len=1 keeps this all-intra: since the HEVC P encoder landed,
+    # the default GOP of 30 emits IDR + P pictures (keys = [True, False])
     sess = EncoderSession(EncoderParams(width=64, height=64, qp=30,
-                                        codec=Codec.HEVC))
+                                        gop_len=1, codec=Codec.HEVC))
     sps, pps = sess.get_spspps()
     assert sps and pps
     stream = b""

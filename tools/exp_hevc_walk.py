@@ -39,7 +39,7 @@ def main():
     from jmcodec_tpu.codec.hevc.refdec import _substream_offsets
     from jmcodec_tpu.codec.hevc.slicehdr import parse_slice_header
     from jmcodec_tpu.kernels.hevc_tiles import (decode_frames_hevc_batch,
-                                                stack_plans)
+                                                resolve_walk, stack_plans)
 
     log(f"walk={os.environ.get('JMX_HEVC_WALK', 'unroll')} "
         f"f16={os.environ.get('JMX_HEVC_F16', '0')} frames={N}")
@@ -71,13 +71,13 @@ def main():
 
     t0 = time.time()
     args = stack_plans(plans)
-    out = decode_frames_hevc_batch(*args)
+    out = decode_frames_hevc_batch(*args, walk=resolve_walk())
     cks = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
     log(f"compile+first: {time.time()-t0:.1f}s checksum={cks}")
 
     for rep in range(3):
         t1 = time.time()
-        out = decode_frames_hevc_batch(*args)
+        out = decode_frames_hevc_batch(*args, walk=resolve_walk())
         cks = int(jnp.sum(out[0][:, ::64, ::64].astype(jnp.int32)))
         dt = time.time() - t1
         log(f"rep {rep}: device {dt*1000:.0f} ms = {N/dt:.2f} fps "

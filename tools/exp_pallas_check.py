@@ -36,7 +36,7 @@ def main():
     from jmcodec_tpu.codec.hevc.refdec import _substream_offsets
     from jmcodec_tpu.codec.hevc.slicehdr import parse_slice_header
     from jmcodec_tpu.kernels.hevc_tiles import (decode_frames_hevc_batch,
-                                                stack_plans)
+                                                resolve_walk, stack_plans)
 
     log(f"walk={os.environ.get('JMX_HEVC_WALK', 'unroll')} {W}x{H} N={N}")
     stream = make_test_stream(W, H, N, qp=30, codec="libx265")
@@ -65,7 +65,7 @@ def main():
 
     t0 = time.time()
     args = stack_plans(plans)
-    out = decode_frames_hevc_batch(*args)
+    out = decode_frames_hevc_batch(*args, walk=resolve_walk())
     out[0].block_until_ready()
     log(f"compile+decode: {time.time()-t0:.1f}s")
 
