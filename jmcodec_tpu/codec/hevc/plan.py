@@ -135,15 +135,19 @@ class HevcFramePlan:
         per PU for the Python parser)."""
         if self._wp_tab is None:
             return
+        # parse-state grids cover the PICTURE cell grid; wp_w covers the
+        # CTB-padded plan grid — fill the overlapping region
+        ch, cw = ref_idx.shape[1], ref_idx.shape[2]
         for lx in (0, 1):
             tab = self._wp_tab[lx]
             if not tab:
                 continue
             t = np.asarray(tab, np.int32)         # [nref, 6]
             idx = np.clip(ref_idx[lx], 0, len(tab) - 1)
-            cells = t[idx]                        # [H4, W4, 6]
+            cells = t[idx]                        # [ch, cw, 6]
             on = pred_fl[lx].astype(bool)
-            self.wp_w[lx][on] = cells[on]
+            sub = self.wp_w[lx, :ch, :cw]
+            sub[on] = cells[on]
 
     def record_pu(self, xp: int, yp: int, w: int, h: int, pred: int,
                   mv, ref_slot, ref_idx=(0, 0)) -> None:

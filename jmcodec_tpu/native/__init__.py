@@ -202,8 +202,10 @@ def hevc_fill_plan_inter(plan, hdr, sps, pps, rbsp: bytes, substream_rbsp,
         raise HevcNativeUnsupported("PCM")
     if pps.cu_qp_delta_enabled:
         raise HevcNativeUnsupported("cu_qp_delta")
-    if hdr.wp is not None:
-        raise HevcNativeUnsupported("weighted prediction (host path)")
+    # explicit weighted prediction needs NO parser support: the weight
+    # table lives in the slice header (Python-parsed) and slice-data
+    # syntax is weight-independent; the device combine consumes the
+    # per-cell weights via plan.set_wp/fill_wp_cells (r5)
     buf = np.frombuffer(rbsp, np.uint8)
     iparams = np.array([
         sps.pic_width, sps.pic_height, sps.log2_ctb, sps.log2_min_cb,
