@@ -374,6 +374,45 @@ def bench_h264_cabac_session(W, H, N, reps=2):
     return best, on_device, stages
 
 
+def bench_encode(W, H, N, reps=2):
+    """Device-engine H.264 encode fps at the reference's default operating
+    point (1080p30, 2 Mbps VBR — intel_enc.cpp:231-249). The reference
+    never published an encode-fps figure either way; this is the missing
+    BENCH metric VERDICT r4 #9 asked for."""
+    from jmcodec_tpu.api.session import (Codec, EncoderParams,
+                                         EncoderSession, PixFmt)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from util_oracle import make_frame
+    frames = [make_frame(W, H, seed=i, kind="gradient_noise")
+              for i in range(N)]
+    raws = [(np.asarray(f[0], np.uint8).tobytes() +
+             np.asarray(f[1], np.uint8).tobytes() +
+             np.asarray(f[2], np.uint8).tobytes()) for f in frames]
+
+    def run():
+        sess = EncoderSession(EncoderParams(
+            width=W, height=H, fps=30, bitrate_kb=2000, gop_len=N,
+            engine="device"))
+        nbytes = 0
+        for raw in raws:
+            sess.encode_frame(raw, PixFmt.I420)
+            while (pkt := sess.output_bitstream()) is not None:
+                nbytes += len(pkt[0])
+        return nbytes
+
+    nbytes = run()  # compile warmup
+    best = 0.0
+    for rep in range(reps):
+        t0 = time.time()
+        nbytes = run()
+        dt = time.time() - t0
+        log(f"encode rep {rep}: {dt*1000:.0f} ms = {N/dt:.2f} fps "
+            f"({nbytes*30*8/N/1000:.0f} kbps)")
+        best = max(best, N / dt)
+    return best
+
+
 def main():
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tests"))
@@ -398,6 +437,7 @@ def main():
     cabac_fps, cabac_on_device, cabac_stages = \
         bench_h264_cabac_session(W, H, N)
     hevc_inter_fps, hevc_inter_stages = bench_hevc_inter_session(W, H, N)
+    encode_fps = bench_encode(W, H, min(N, 8))
 
     # Roofline/MFU context (BASELINE asks "fast vs the chip", not only the
     # 60 fps line). The decode kernels are NOT MXU/HBM-bound: the intra
@@ -423,6 +463,7 @@ def main():
         "hevc_1080p_inter_session_fps": round(hevc_inter_fps, 2),
         "session_stage_ms": {"h264_cabac": cabac_stages,
                              "hevc_inter": hevc_inter_stages},
+        "h264_1080p_encode_fps": round(encode_fps, 2),
         "device_mpix_per_s": {
             "hevc": round(hevc_dev_fps * mpix, 1),
             "h264": round(h264_dev_fps * mpix, 1)},

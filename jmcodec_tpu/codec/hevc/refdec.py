@@ -258,8 +258,6 @@ class HevcRefDecoder:
             raise NotImplementedError("HEVC non-4:2:0/8-bit")
         if pps.tiles_enabled:
             raise NotImplementedError("HEVC tiles")
-        if pps.cu_qp_delta_enabled:
-            raise NotImplementedError("HEVC cu_qp_delta")
         if hdr0.slice_type != I_SLICE and self.plan_only:
             raise NotImplementedError("HEVC inter device plan")
         if hdr0.is_idr:
@@ -427,6 +425,12 @@ class HevcRefDecoder:
             except NotImplementedError:
                 from .plan import HevcFramePlan
                 plan = HevcFramePlan.create(sps)  # dirty tensors: rebuild
+                plan.poc = poc
+                plan.is_idr = bool(hdr0.is_idr)
+                if not self.plan_only:
+                    # unified kernel: intra pictures ride the inter entry
+                    # with zeroed motion (one compile per geometry)
+                    plan.enable_inter()
         self.pic = _Picture(sps, pps, plan=plan)
         self.pic.poc = poc
         for hdr, rbsp, emu in slices:
@@ -455,9 +459,12 @@ class HevcRefDecoder:
         if plan is None:
             return None
         if plan.inter4 is not None:
-            # uniform slice QP (cu_qp_delta rejected; multi-slice plans are
-            # flagged unsupported): deblock + inter dequant read it per cell
+            # per-cell QP: the decoded qp_map (covers cu_qp_delta; equals
+            # the slice QP everywhere otherwise). Deblock + inter dequant
+            # read it per cell; padded plan cells keep the slice QP.
             plan.qp_y[:] = slices[0][0].qp
+            ch, cw = self.pic.qp_map.shape
+            plan.qp_y[:ch, :cw] = self.pic.qp_map
         ch, cw = self.pic.bs_ver.shape
         plan.bs_ver[:ch, :cw] = self.pic.bs_ver
         plan.bs_hor[:ch, :cw] = self.pic.bs_hor
@@ -489,6 +496,9 @@ class HevcRefDecoder:
             if hdr.slice_type != I_SLICE:
                 pic.plan.set_wp(hdr)
         c = HevcCabac(rbsp, hdr.data_bitpos, hdr.qp, hdr.init_type)
+        # cu_qp_delta: qPY_PREV = SliceQpY at the first QG of the slice
+        # (and of each CTB row under WPP, below) — 8.6.1
+        pic.last_cu_qp = hdr.qp
         wpp = pps.entropy_coding_sync_enabled
         substream_rbsp = _substream_offsets(hdr, emu)
         ctb_w = pic.ctb_w
@@ -504,6 +514,7 @@ class HevcRefDecoder:
                     c.load_states(saved)
                 else:
                     c.init_contexts(hdr.qp, hdr.init_type)
+                pic.last_cu_qp = hdr.qp
             pic.decode_ctu(c, xc, yc)
             if wpp and xc == 1:
                 saved = c.save_states()
@@ -573,6 +584,12 @@ class _Picture:
         self.sao_params: List[Optional[SaoParam]] = [None] * (
             self.ctb_w * self.ctb_h)
         self.cur_hdr: Optional[HevcSliceHeader] = None
+        # cu_qp_delta state (7.4.9.10 / 8.6.1): one quantization group's
+        # predictor + coded delta; last_cu_qp feeds the next QG's qPY_PREV
+        self.last_cu_qp = 0
+        self.qg_pred = 0
+        self.qg_delta = 0
+        self.qg_coded = False
 
     # -- CTU ----------------------------------------------------------------
 
@@ -637,6 +654,14 @@ class _Picture:
     def _coding_quadtree(self, c: HevcCabac, x0: int, y0: int,
                          log2size: int, depth: int) -> None:
         sps = self.sps
+        pps = self.pps
+        if (pps.cu_qp_delta_enabled and
+                log2size >= sps.log2_ctb - pps.diff_cu_qp_delta_depth):
+            # new quantization group (7.4.9.10): reset the coded flag and
+            # capture qPY_PRED for every CU inside this QG (8.6.1)
+            self.qg_coded = False
+            self.qg_delta = 0
+            self.qg_pred = self._qp_pred(x0, y0)
         inside = (x0 + (1 << log2size) <= self.w and
                   y0 + (1 << log2size) <= self.h)
         if inside and log2size > sps.log2_min_cb:
@@ -668,7 +693,7 @@ class _Picture:
         ys = slice(y0 // g, (y0 + n) // g)
         xs = slice(x0 // g, (x0 + n) // g)
         self.ct_depth[ys, xs] = depth
-        self.qp_map[ys, xs] = self.cur_hdr.qp
+        self.qp_map[ys, xs] = self.cur_qp()
         if pps.transquant_bypass_enabled:
             if c.decode(CT.CU_TRANSQUANT_BYPASS):
                 raise NotImplementedError("transquant bypass")
@@ -684,13 +709,44 @@ class _Picture:
                 self._prediction_unit(c, x0, y0, n, x0, y0, n, n, 0,
                                       PART_2Nx2N, skip=True)
                 self._mark_cu_edges(x0, y0, n)
+                self._finish_cu_qp(x0, y0, n)
                 if self.plan is not None:
                     self.plan.record_inter_cu_done(x0, y0, n)
                 return
             if not c.decode(CT.PRED_MODE_FLAG):
                 self._inter_cu(c, x0, y0, log2size, depth)
+                self._finish_cu_qp(x0, y0, n)
                 return
         self._intra_cu(c, x0, y0, log2size, depth)
+        self._finish_cu_qp(x0, y0, n)
+
+    def _qp_pred(self, xQg: int, yQg: int) -> int:
+        """qPY_PRED (8.6.1): mean of the left/above QG neighbours when
+        they lie in the SAME CTB, else the previous QG's last CU QP."""
+        mask = self.ctb - 1
+        prev = self.last_cu_qp
+        g = 4
+        qa = (int(self.qp_map[yQg // g, (xQg - 1) // g])
+              if (xQg & mask) else prev)
+        qb = (int(self.qp_map[(yQg - 1) // g, xQg // g])
+              if (yQg & mask) else prev)
+        return (qa + qb + 1) >> 1
+
+    def cur_qp(self) -> int:
+        """Current CU luma QP: slice QP, or the QG-derived value when
+        cu_qp_delta is on (delta 0 until parsed; the parse precedes the
+        first dequant in the TU syntax, 7.3.8.10)."""
+        if not self.pps.cu_qp_delta_enabled:
+            return self.cur_hdr.qp
+        return (self.qg_pred + self.qg_delta + 52) % 52
+
+    def _finish_cu_qp(self, x0: int, y0: int, n: int) -> None:
+        """At CU end: pin the derived QP over the CU (deblock + the next
+        QG's predictor read it) and remember it as qPY_PREV material."""
+        g = 4
+        qp = self.cur_qp()
+        self.qp_map[y0 // g:(y0 + n) // g, x0 // g:(x0 + n) // g] = qp
+        self.last_cu_qp = qp
 
     def _mark_cu_edges(self, x0: int, y0: int, n: int) -> None:
         g = 4
@@ -1276,8 +1332,29 @@ class _Picture:
     def _transform_unit(self, c: HevcCabac, x0: int, y0: int, x_base: int,
                         y_base: int, log2size: int, depth: int, blk_idx: int,
                         cbf_luma: int, cbf_cb: int, cbf_cr: int) -> None:
-        qp = self.cur_hdr.qp
         pps = self.pps
+        if (pps.cu_qp_delta_enabled and not self.qg_coded and
+                (cbf_luma or cbf_cb or cbf_cr)):
+            # cu_qp_delta_abs: TR cMax=5 (bin0 its own ctx, bins 1..4 a
+            # shared ctx), EG0 bypass suffix; sign bypass (9.3.3 / 7.3.8.10)
+            v = 0
+            if c.decode(CT.CU_QP_DELTA):
+                v = 1
+                while v < 5 and c.decode(CT.CU_QP_DELTA + 1):
+                    v += 1
+                if v == 5:
+                    k = 0
+                    while c.bypass():
+                        k += 1
+                    suf = 0
+                    for _ in range(k):
+                        suf = (suf << 1) | c.bypass()
+                    v += (1 << k) - 1 + suf
+            if v and c.bypass():
+                v = -v
+            self.qg_delta = v
+            self.qg_coded = True
+        qp = self.cur_qp()
         n = 1 << log2size
         # mark TU edges + the luma-cbf map for deblock bS (finish_bs)
         g = 4
@@ -1324,7 +1401,7 @@ class _Picture:
 
     def _chroma_unit(self, c: HevcCabac, xc: int, yc: int, log2size: int,
                      cbf_cb: int, cbf_cr: int) -> None:
-        qp = self.cur_hdr.qp
+        qp = self.cur_qp()
         pps = self.pps
         hdr = self.cur_hdr
         n = 1 << log2size

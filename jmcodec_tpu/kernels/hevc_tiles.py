@@ -1431,10 +1431,11 @@ def decode_frame_hevc_inter(Hp: int, Wp: int, log2_ctb: int, strong: bool,
     qpc_cr = jnp.asarray(_QPC_T)[jnp.clip(qp_y[::2, ::2] + cr_qp_off, 0, 57)]
     resid_cb = _residual_plane(coeff_cb, qpc_cb, tu_c, False, (2, 3, 4))
     resid_cr = _residual_plane(coeff_cr, qpc_cr, tu_c, False, (2, 3, 4))
+    # 4:2:0 chroma TUs are at most 16 (half the 32 luma max, 7.4.9.8)
     resid_cb_i = _residual_plane(coeff_cb, qpc_cb, tu_inter_c, False,
-                                 (2, 3, 4, 5))
+                                 (2, 3, 4))
     resid_cr_i = _residual_plane(coeff_cr, qpc_cr, tu_inter_c, False,
-                                 (2, 3, 4, 5))
+                                 (2, 3, 4))
 
     # ---- inter base = clip(MC + residual), masked to inter cells ----
     px_inter = jnp.repeat(jnp.repeat(inter4, 4, 0), 4, 1)

@@ -325,9 +325,11 @@ for _fy in range(4):
         _MC_SEL[_fy, _fx] = sel
 
 
-def _mc_luma_batched(refp, mv, ref_idx, mbh, mbw):
+def _mc_luma_batched(refp, mv, ref_idx, mbh, mbw, clip_y=None):
     """refp: [n_refs, Hp, Wp]; mv: [mbh*4, mbw*4, 2]; ref_idx same grid.
-    Returns predicted luma [mbh*4, mbw*4, 4, 4] int32."""
+    Returns predicted luma [mbh*4, mbw*4, 4, 4] int32. clip_y overrides
+    the vertical clamp bounds (row-sharded MC: a band's local coordinates
+    shift the global [3, Hp-8] clamp by its row offset)."""
     n_refs, Hp, Wp = refp.shape
     G, b, hh, jj = _halfpel_planes(refp)
     planes = jnp.stack([G, b, hh, jj], axis=1)      # [n_refs, 4, Hp, Wp]
@@ -336,8 +338,9 @@ def _mc_luma_batched(refp, mv, ref_idx, mbh, mbw):
     x0 = bxs * 4 + MC_PAD
     y0 = bys * 4 + MC_PAD
     mvx, mvy = mv[..., 0], mv[..., 1]
+    y_lo, y_hi = (3, Hp - 8) if clip_y is None else clip_y
     xi = jnp.clip(x0 + (mvx >> 2), 3, Wp - 8)
-    yi = jnp.clip(y0 + (mvy >> 2), 3, Hp - 8)
+    yi = jnp.clip(y0 + (mvy >> 2), y_lo, y_hi)
     sel = jnp.asarray(_MC_SEL)[mvy & 3, mvx & 3]    # [gh, gw, 7]
     r = jnp.clip(ref_idx, 0, n_refs - 1)
 
@@ -352,18 +355,20 @@ def _mc_luma_batched(refp, mv, ref_idx, mbh, mbw):
     return jnp.where((sel[..., 6] == 1)[..., None, None], avg, p1)
 
 
-def _mc_chroma_batched(refc, mv, ref_idx, mbh, mbw):
+def _mc_chroma_batched(refc, mv, ref_idx, mbh, mbw, clip_y=None):
     """refc: [n_refs, Hc, Wc] padded chroma. Chroma moves with the luma
     partitioning, so prediction is evaluated per 2x2 chroma block co-located
-    with each luma 4x4 block: returns [gh, gw, 2, 2] int32 (gh=mbh*4)."""
+    with each luma 4x4 block: returns [gh, gw, 2, 2] int32 (gh=mbh*4).
+    clip_y: vertical clamp override for row-sharded bands."""
     n_refs, Hc, Wc = refc.shape
     gh, gw = mv.shape[0], mv.shape[1]
     bys, bxs = np.mgrid[0:gh, 0:gw]
     x0 = bxs * 2 + MC_PAD // 2
     y0 = bys * 2 + MC_PAD // 2
     mvx, mvy = mv[..., 0], mv[..., 1]
+    y_lo, y_hi = (0, Hc - 4) if clip_y is None else clip_y
     xi = jnp.clip(x0 + (mvx >> 3), 0, Wc - 4)
-    yi = jnp.clip(y0 + (mvy >> 3), 0, Hc - 4)
+    yi = jnp.clip(y0 + (mvy >> 3), y_lo, y_hi)
     dx = (mvx & 7)[..., None, None]
     dy = (mvy & 7)[..., None, None]
     r = jnp.clip(ref_idx, 0, n_refs - 1)

@@ -154,6 +154,10 @@ def hevc_fill_plan(plan, hdr, sps, pps, rbsp: bytes,
         raise HevcNativeUnsupported("native library unavailable")
     if sps.pcm_enabled:
         raise HevcNativeUnsupported("PCM")
+    if pps.cu_qp_delta_enabled:
+        # the C++ front-end has no cu_qp_delta syntax yet; the Python
+        # parser covers it and still feeds the device plan path
+        raise HevcNativeUnsupported("cu_qp_delta")
     buf = np.frombuffer(rbsp, np.uint8)
     iparams = np.array([
         sps.pic_width, sps.pic_height, sps.log2_ctb, sps.log2_min_cb,

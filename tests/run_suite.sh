@@ -34,6 +34,8 @@ run tests/test_hevc_device.py -k "not wpp and not sweep and not partial"
 run tests/test_hevc_device.py -k "wpp or sweep"
 run tests/test_hevc_device.py -k "partial"
 run tests/test_hevc_device_inter.py
+run tests/test_hevc_cuqp.py
+run tests/test_framepp.py
 run tests/test_hevc_native.py
 run tests/test_session.py
 # sharded multi-device paths
