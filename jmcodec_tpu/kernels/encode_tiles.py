@@ -160,6 +160,11 @@ def _mc_luma_batched_from_planes(planes_tuple, mv, ref_idx):
     return jnp.where((sel[..., 6] == 1)[..., None, None], avg, p1)
 
 
+# mode-decision lambda2 table: round(0.85 * 2^((qp-12)/3)) per QP
+_LAMBDA2_T = np.maximum(1, np.round(
+    0.85 * 2.0 ** ((np.arange(52) - 12) / 3.0))).astype(np.int32)
+
+
 def _cells_to_plane(cells):
     """[gh, gw, n, n] -> [gh*n, gw*n]."""
     gh, gw, n, _ = cells.shape
@@ -199,6 +204,28 @@ def encode_p_frame(mbh: int, mbw: int, rng: int, src_y, src_u, src_v,
     resid = _plane_to_cells(src_y - pred_y, 4)
     w = T.forward_transform_4x4(resid, jnp)
     luma_z = T.quant_4x4(w, qp, False, jnp, mf)
+
+    # ---- first RDO: per-4x4-block rate-distortion thresholding ----
+    # J = SSD + lambda2*R. A block's coefficients are dropped when the
+    # distortion they remove is worth less than the bits they cost —
+    # x264's coefficient-level analog, batched over the whole frame.
+    # lambda2 = 0.85 * 2^((qp-12)/3) (the H.264 mode-decision lambda).
+    lam2 = jnp.asarray(_LAMBDA2_T)[jnp.clip(qp, 0, 51)]
+    dqt = jnp.asarray(T.DEQUANT4x4)
+    rec_res = T.inverse_transform_4x4(
+        T.dequant_4x4(luma_z, qp, jnp, dqt), jnp)
+    d_keep = jnp.sum((resid - rec_res) ** 2, axis=(-1, -2))
+    d_zero = jnp.sum(resid ** 2, axis=(-1, -2))
+    absz = jnp.abs(luma_z)
+    # CAVLC-flavoured rate: ~2*bitlen(level)+1 per nonzero coefficient
+    # plus a coeff_token/run overhead per coded block
+    bl = jnp.where(absz > 0, jnp.floor(
+        jnp.log2(jnp.maximum(absz, 1).astype(jnp.float32))
+    ).astype(jnp.int32) + 1, 0)
+    r_blk = jnp.sum(jnp.where(absz > 0, 2 * bl + 1, 0), axis=(-1, -2)) \
+        + 4 * jnp.any(absz > 0, axis=(-1, -2)).astype(jnp.int32)
+    drop = (d_zero - d_keep) <= lam2 * r_blk
+    luma_z = jnp.where(drop[..., None, None], 0, luma_z)
 
     # chroma: per-plane 4x4 DCT; 2x2 DC hadamard quant + AC quant
     chroma_ac = []
