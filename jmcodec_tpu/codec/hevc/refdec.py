@@ -535,6 +535,13 @@ class HevcRefDecoder:
         pic.cur_slice += 1
 
 
+
+
+def _ts_residual(d: np.ndarray) -> np.ndarray:
+    """transform_skip residual (8.6.4.2, 8-bit): r = (d << tsShift +
+    round) >> bdShift with tsShift = 7 (4x4), bdShift = 12."""
+    return (d * 128 + 2048) >> 12
+
 class _Picture:
     """Per-picture decode state and reconstruction."""
 
@@ -1364,11 +1371,18 @@ class _Picture:
         if self.cu_pred_mode == MODE_INTER:
             if cbf_luma:
                 coeffs = self._residual(c, log2size, 0, 0)
+                ts = self._tskip
                 if self.plan is not None:
+                    if ts:
+                        # device residual path is DCT/DST-only so far:
+                        # this picture re-decodes on the host below
+                        self.plan.supported = False
+                        self.plan.reason = "transform_skip"
                     self.plan.record_inter_luma_tu(x0, y0, n, coeffs)
                 else:
                     d = TR.dequant(coeffs, qp, log2size)
-                    res = TR.inverse_transform(d, log2size, dst=False)
+                    res = (_ts_residual(d) if ts else
+                           TR.inverse_transform(d, log2size, dst=False))
                     blk = self.y[y0:y0 + n, x0:x0 + n]
                     self.y[y0:y0 + n, x0:x0 + n] = np.clip(blk + res, 0, 255)
             if log2size > 2:
@@ -1385,9 +1399,14 @@ class _Picture:
         if cbf_luma:
             scan = self._scan_idx(mode, log2size, 0)
             coeffs = self._residual(c, log2size, 0, scan)
+            if self._tskip and self.plan is not None:
+                self.plan.supported = False
+                self.plan.reason = "transform_skip"
             if self.plan is None:
                 d = TR.dequant(coeffs, qp, log2size)
-                res = TR.inverse_transform(d, log2size, dst=(log2size == 2))
+                res = (_ts_residual(d) if self._tskip else
+                       TR.inverse_transform(d, log2size,
+                                            dst=(log2size == 2)))
         if self.plan is not None:
             self.plan.record_luma_tu(x0, y0, n, mode, qp, coeffs)
         self._recon_intra(self.y, self.avail_y, x0, y0, n, mode, 0, res)
@@ -1415,11 +1434,15 @@ class _Picture:
                     continue
                 coeffs = self._residual(c, log2size, cidx, 0)
                 if self.plan is not None:
+                    if self._tskip:
+                        self.plan.supported = False
+                        self.plan.reason = "transform_skip"
                     plan_c[cidx - 1] = coeffs
                     continue
                 qpc = TR.chroma_qp(qp, off)
                 d = TR.dequant(coeffs, qpc, log2size)
-                res = TR.inverse_transform(d, log2size, dst=False)
+                res = (_ts_residual(d) if self._tskip else
+                       TR.inverse_transform(d, log2size, dst=False))
                 blk = plane[yc:yc + n, xc:xc + n]
                 plane[yc:yc + n, xc:xc + n] = np.clip(blk + res, 0, 255)
             if self.plan is not None and (cbf_cb or cbf_cr):
@@ -1436,10 +1459,14 @@ class _Picture:
                 scan = self._scan_idx(mode, log2size, cidx)
                 coeffs = self._residual(c, log2size, cidx, scan)
                 plan_coeffs[cidx - 1] = coeffs
+                if self._tskip and self.plan is not None:
+                    self.plan.supported = False
+                    self.plan.reason = "transform_skip"
                 if self.plan is None:
                     qpc = TR.chroma_qp(qp, off)
                     d = TR.dequant(coeffs, qpc, log2size)
-                    res = TR.inverse_transform(d, log2size, dst=False)
+                    res = (_ts_residual(d) if self._tskip else
+                           TR.inverse_transform(d, log2size, dst=False))
             # cb and cr share one availability map: mark after cr only
             self._recon_intra(plane, self.avail_c, xc, yc, n, mode, cidx,
                               res, mark=(cidx == 2))
@@ -1493,8 +1520,9 @@ class _Picture:
         tskip = False
         if pps.transform_skip_enabled and log2size == 2:
             tskip = bool(c.decode(CT.TRANSFORM_SKIP + (1 if cidx else 0)))
-        if tskip:
-            raise NotImplementedError("transform_skip recon")
+        # remembered for the caller's recon: TS blocks share this exact
+        # residual_coding syntax, only the inverse transform differs
+        self._tskip = tskip
         # last significant coeff position
         lx = self._last_prefix(c, CT.LAST_SIG_X_PREFIX, log2size, cidx)
         ly = self._last_prefix(c, CT.LAST_SIG_Y_PREFIX, log2size, cidx)

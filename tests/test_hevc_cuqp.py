@@ -91,3 +91,37 @@ def test_cuqp_device_eager():
         st2 = oracle_encode(_frames(3), 64, 64, qp=30, codec="libx265",
                             gop=3, extra=EXTRA)
         assert _run_session(st2) == 3
+
+
+def test_transform_skip_bit_exact():
+    """transform_skip recon (8.6.4.2): binary screen-content makes x265
+    emit real TS blocks; host decode must match libavcodec bit-exactly
+    (plan pictures with TS re-decode on the host path)."""
+    from jmcodec_tpu.codec.hevc import refdec as RD
+    rng = np.random.default_rng(1)
+    frames = []
+    for i in range(2):
+        Y = (rng.integers(0, 2, (96, 128)) * 255).astype(np.uint8)
+        U = np.full((48, 64), 128, np.uint8)
+        frames.append((Y, U, U.copy()))
+    stream = oracle_encode(frames, 128, 96, qp=32, codec="libx265",
+                           gop=2, extra="tskip=1:ctu=16")
+    orig = RD._Picture._residual
+    cnt = {"ts": 0}
+
+    def spy(self, c, log2size, cidx, scan_idx):
+        out = orig(self, c, log2size, cidx, scan_idx)
+        if self._tskip:
+            cnt["ts"] += 1
+        return out
+
+    RD._Picture._residual = spy
+    try:
+        got = RD.HevcRefDecoder(use_native=False).decode(stream)
+    finally:
+        RD._Picture._residual = orig
+    assert cnt["ts"] > 0, "content did not exercise transform_skip"
+    want, _, _ = oracle_decode(stream, suffix=".h265")
+    for g, w in zip(got, want):
+        for a, b in zip(g, w):
+            assert np.array_equal(a, b)
