@@ -69,10 +69,22 @@ class DeviceH264Encoder(H264ReferenceEncoder):
             *self._dev_ref,
             jnp.int32(qp), jnp.int32(qpc_cb), jnp.int32(qpc_cr),
             jnp.int32(lam))
-        mv = np.asarray(mv_d)
-        luma_z = np.asarray(luma_z_d.astype(jnp.int16)).astype(np.int32)
-        chroma_ac = np.asarray(chroma_ac_d.astype(jnp.int16)).astype(np.int32)
-        chroma_dc = np.asarray(chroma_dc_d.astype(jnp.int16)).astype(np.int32)
+        # ONE device->host pull: the tunnel charges ~0.3-1 s LATENCY per
+        # transfer regardless of size, so four separate np.asarray calls
+        # cost more than the bytes themselves (measured r5)
+        flat = jnp.concatenate([
+            mv_d.astype(jnp.int16).ravel(),
+            luma_z_d.astype(jnp.int16).ravel(),
+            chroma_ac_d.astype(jnp.int16).ravel(),
+            chroma_dc_d.astype(jnp.int16).ravel()])
+        host = np.asarray(flat).astype(np.int32)
+        o0 = mv_d.size
+        o1 = o0 + luma_z_d.size
+        o2 = o1 + chroma_ac_d.size
+        mv = host[:o0].reshape(mv_d.shape)
+        luma_z = host[o0:o1].reshape(luma_z_d.shape)
+        chroma_ac = host[o1:o2].reshape(chroma_ac_d.shape)
+        chroma_dc = host[o2:].reshape(chroma_dc_d.shape)
 
         # ---- host entropy pack (skip-run + CAVLC slice writing) ----
         self.frame_num = (self.frame_num + 1) % (
@@ -128,13 +140,13 @@ class DeviceH264Encoder(H264ReferenceEncoder):
                 p[None] for p in self._dev_ref),
             deblock=fs.deblock_enabled)
         self._dev_ref = RT.pad_ref_device(Yd, Ud, Vd)
-        Yr = np.asarray(Yd)
-        Ur = np.asarray(Ud)
-        Vr = np.asarray(Vd)
-        self.last_recon = (Yr, Ur, Vr)
+        # host DPB mirror stays LAZY: the device P chain references only
+        # _dev_ref; a host consumer (np.asarray) pulls on demand — three
+        # eager pulls here cost ~1.5 s of pure tunnel latency per frame
+        self.last_recon = (Yd, Ud, Vd)
         from .refdec import RefPicture
-        self.dpb = [RefPicture(self.frame_num, Yr.astype(np.int32),
-                               Ur.astype(np.int32), Vr.astype(np.int32))]
+        self.dpb = [RefPicture(self.frame_num, Yd.astype(jnp.int32),
+                               Ud.astype(jnp.int32), Vd.astype(jnp.int32))]
         return nal.write_nal_unit(2, nal.NAL_SLICE_NON_IDR, sw.bytes())
 
     def _pack_p_mb(self, g, m, my, mx, qp, mv, luma_z, chroma_ac, chroma_dc):

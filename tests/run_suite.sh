@@ -18,9 +18,12 @@ run tests/ --ignore=tests/test_device_recon.py \
            --ignore=tests/test_device_encode.py \
            --ignore=tests/test_hevc_device.py \
            --ignore=tests/test_hevc_device_inter.py \
+           --ignore=tests/test_hevc_cuqp.py \
+           --ignore=tests/test_framepp.py \
            --ignore=tests/test_hevc_native.py \
            --ignore=tests/test_session.py \
            --ignore=tests/test_parallel.py \
+           --ignore=tests/test_spatial.py \
            --ignore=tests/test_pallas_idct.py
 # H.264 device kernels
 run tests/test_device_recon.py tests/test_device_inter.py \
@@ -40,4 +43,5 @@ run tests/test_hevc_native.py
 run tests/test_session.py
 # sharded multi-device paths
 run tests/test_parallel.py
+run tests/test_spatial.py
 exit $FAILED
