@@ -494,7 +494,12 @@ def main():
         "note": ("e2e includes threaded native CABAC host parse + H2D of "
                  "plan tensors; this dev environment tunnels the TPU at "
                  "~60 MB/s H2D which bounds e2e; device_compute_fps "
-                 "re-submits resident tensors (on-chip decode rate)"),
+                 "re-submits resident tensors (on-chip decode rate). The "
+                 "session fps figures are host-CPU-bound (parse + DPB "
+                 "bookkeeping on 2 cores) and drop several-fold when "
+                 "anything else runs on the machine: idle-host readings "
+                 "are ~5 fps cabac / ~10.7 fps hevc-inter "
+                 "(tools/exp_inter_prof.py reproduces the breakdown)"),
     }
     print(json.dumps(result))
 

@@ -24,7 +24,8 @@ not O(candidates) — Mosaic compile time stays flat, and a whole-block skip
 Per-candidate math mirrors hevc_tiles._tu_candidate exactly (substitution,
 [1 2 1]/strong filtering, 35-mode prediction, residual add, tu-masked
 write) so bit-exactness vs the host reference decoder is preserved; the
-conformance suite runs this path under JMX_HEVC_WALK=pallas. Horizontal
+conformance suite covers this path (DEFAULT on TPU since r5, selected
+by hevc_tiles.resolve_walk as a static jit argument). Horizontal
 angular modes are computed in a second window pass with the roles of y/x
 swapped instead of transposing (Mosaic relayout-free).
 

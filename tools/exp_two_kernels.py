@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
-"""Minimal repro driver for the rep-2 TPU worker crash: interleave the
-luma (C=64) and chroma (C=32) pallas walks in one lax.scan, run the jitted
-program several times. Usage: exp_two_kernels.py [B64] [B32] [steps] [reps]
+"""Two-kernel interleave driver (historical: the r4 crash suspect).
+r5 bisect exonerated the interleave — at bench shapes it runs stable; the
+real TPU-worker fault triggers were compact int8/int16 operands sharing a
+program with the Pallas kernels (fixed: _widen_i32 pre-pass) and the SAO
+scalar gather. Kept as a standalone stress/perf driver.
+Usage: exp_two_kernels.py [B64] [B32] [steps] [reps]
 """
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
