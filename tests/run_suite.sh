@@ -14,6 +14,7 @@ run() { python -m pytest "$@" -q || FAILED=1; }
 
 # host-side codec + API tests (no big device kernels)
 run tests/ --ignore=tests/test_device_recon.py \
+           --ignore=tests/test_hevc_batch_split.py \
            --ignore=tests/test_device_inter.py \
            --ignore=tests/test_device_encode.py \
            --ignore=tests/test_hevc_device.py \
@@ -38,6 +39,7 @@ run tests/test_hevc_device.py -k "wpp or sweep"
 run tests/test_hevc_device.py -k "partial"
 run tests/test_hevc_device_inter.py
 run tests/test_hevc_cuqp.py
+run tests/test_hevc_batch_split.py
 run tests/test_framepp.py
 run tests/test_hevc_native.py
 run tests/test_session.py
